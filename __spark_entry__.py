@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the full charges cleaning +
+validation pipeline) on sf0.001. ``queries()`` / ``oracle_sql()``
+expose every implemented operator from SURVEY.md §2 with DuckDB twins
+for the correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the raw charges table, run the full cleaning +
+    10-rule validation pipeline, return the clean canonical table."""
+    from clearcare_data_pipeline_spark.pipeline import clean_charges
+    from clearcare_data_pipeline_spark.plans.rules import split_clean_quarantine, tag_violations
+    from clearcare_data_pipeline_spark.schema import CANONICAL_COLUMNS
+    from clearcare_data_pipeline_spark.sources.charges import charges_from_lineitem
+
+    raw = charges_from_lineitem(spark, "/root/testdata/sf0.001")
+    tagged = tag_violations(clean_charges(raw))
+    clean, _quarantine = split_clean_quarantine(tagged)
+    return clean.select(*CANONICAL_COLUMNS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 + Milestone 3)."""
+    from clearcare_data_pipeline_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query, over the pre-registered views."""
+    from clearcare_data_pipeline_spark.queries import all_oracles
+
+    return all_oracles()

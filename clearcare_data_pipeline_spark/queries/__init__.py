@@ -1,0 +1,28 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame
+plus a DuckDB oracle SQL twin for the driver's correctness gate."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    from clearcare_data_pipeline_spark.queries import charges, eventsops, relational, similarity, textops
+
+    out: dict[str, QueryFn] = {}
+    for mod in (relational, charges, textops, similarity, eventsops):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from clearcare_data_pipeline_spark.queries import charges, eventsops, relational, similarity, textops
+
+    out: dict[str, str] = {}
+    for mod in (relational, charges, textops, similarity, eventsops):
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,195 @@
+"""DuckDB-dialect SQL expression builders mirroring the cleaning stage.
+
+These generate the oracle side of the driver's correctness gate from
+the SAME constants the Spark implementation uses (schema.py), so the
+two sides cannot drift independently. Dialect notes:
+
+* DuckDB ``regexp_replace`` replaces the FIRST match unless the ``'g'``
+  option is passed; Spark's replaces all — every mirror here passes 'g'.
+* DuckDB ``regexp_matches`` is a substring search; anchored patterns
+  reproduce Spark ``rlike`` with anchors.
+* ``TRY_CAST(x AS DOUBLE)`` == Spark ``try_cast`` == pandas
+  ``to_numeric(errors='coerce')``.
+"""
+
+from __future__ import annotations
+
+from clearcare_data_pipeline_spark.schema import (
+    ALGORITHM_INVALID_REGEX,
+    CANONICAL_COLUMNS,
+    CODE_FORMAT_REGEX,
+    CODE_TYPE_NORMALIZATION,
+    ICD_CODE_MAX_LEN,
+    ICD_CODE_MIN_LEN,
+    INVALID_TOKENS,
+    PRICE_FIELDS,
+    PRICE_NULL_EXEMPT,
+    PRICE_PLACEHOLDER,
+    TEXT_FIELDS,
+)
+from clearcare_data_pipeline_spark.sources.charges import charges_sql
+
+
+def price_clean_sql(col: str, *, exempt: bool = False) -> str:
+    num = f"TRY_CAST(trim(translate({col}, '$%\",', '')) AS DOUBLE)"
+    if exempt:
+        return num
+    return (
+        f"CASE WHEN {num} <= 0 THEN NULL "
+        f"WHEN {num} = {PRICE_PLACEHOLDER} THEN NULL "
+        f"ELSE {num} END"
+    )
+
+
+def scrub_sql(col: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in INVALID_TOKENS)
+    return f"CASE WHEN lower(trim({col})) IN ({toks}) THEN '' ELSE {col} END"
+
+
+def text_norm_sql(col: str) -> str:
+    return f"CASE WHEN lower(trim({col})) = 'nan' THEN '' ELSE lower(trim({col})) END"
+
+
+# '|' -> ',' and every \s-class char deleted (chr codes 9,10,11,12,13,32)
+_WS_SQL = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
+
+def modifiers_norm_sql(col: str) -> str:
+    return f"upper(translate({col}, '|' || {_WS_SQL}, ','))"
+
+
+def code_type_norm_sql(col: str) -> str:
+    whens = " ".join(f"WHEN '{raw}' THEN '{canon}'" for raw, canon in CODE_TYPE_NORMALIZATION.items())
+    return f"CASE upper(trim({col})) {whens} ELSE NULL END"
+
+
+def algorithm_invalid_sql(col: str) -> str:
+    return f"coalesce(regexp_matches({col}, '{ALGORITHM_INVALID_REGEX}'), FALSE)"
+
+
+def code_format_valid_sql(code: str = "code", code_type: str = "code_type") -> str:
+    per_type = [
+        f"({code_type} = '{ctype}' AND regexp_matches({code}, '{regex}'))"
+        for ctype, regex in CODE_FORMAT_REGEX.items()
+    ]
+    per_type.append(
+        f"({code_type} = 'ICD' AND length({code}) BETWEEN {ICD_CODE_MIN_LEN} AND {ICD_CODE_MAX_LEN})"
+    )
+    return f"(({code} IS NULL OR trim({code}) = '') OR {' OR '.join(per_type)})"
+
+
+def text_present_sql(col: str) -> str:
+    return f"({col} IS NOT NULL AND trim({col}) <> '')"
+
+
+def num_present_sql(col: str) -> str:
+    return f"({col} IS NOT NULL)"
+
+
+# Violation predicates — mirror of plans/rules.py (TRUE == violation).
+def rule_predicates_sql() -> dict[str, str]:
+    payer = text_present_sql("payer_name")
+    plan = text_present_sql("plan_name")
+    methodology = text_present_sql("negotiated_methodology")
+    code = text_present_sql("code")
+    code_type = text_present_sql("code_type")
+    desc = text_present_sql("description")
+    notes = text_present_sql("additional_notes")
+    modifiers = text_present_sql("modifiers")
+    drug_unit = text_present_sql("drug_unit")
+    drug_type = text_present_sql("drug_type")
+    algorithm = text_present_sql("negotiated_algorithm")
+    neg_price = num_present_sql("negotiated_price")
+    neg_pct = num_present_sql("negotiated_percentage")
+    gross = num_present_sql("gross_charge")
+    cash = num_present_sql("discounted_cash_price")
+    min_p = num_present_sql("min_price")
+    max_p = num_present_sql("max_price")
+    est = num_present_sql("estimated_amount")
+    any_price = "(" + " OR ".join(num_present_sql(p) for p in PRICE_FIELDS) + ")"
+    return {
+        "rule_1": f"(({neg_price} OR {neg_pct} OR {gross}) AND NOT ({payer} AND {plan} AND {methodology}))",
+        "rule_2": f"({any_price} AND NOT ({code} AND {code_type}))",
+        "rule_3": f"({code} <> {code_type})",
+        "rule_4": f"((trim(negotiated_methodology) = 'other') AND NOT {notes})",
+        "rule_5": f"({desc} AND NOT {gross} AND NOT {cash} AND NOT {neg_price} AND NOT {neg_pct} AND NOT {algorithm})",
+        "rule_6": f"({neg_price} AND NOT ({min_p} AND {max_p}))",
+        "rule_7": f"(NOT {neg_price} AND ({neg_pct} OR {algorithm}) AND NOT {est})",
+        "rule_8": f"((trim(code_type) = 'NDC') AND NOT ({drug_unit} AND {drug_type}))",
+        "rule_9": f"({modifiers} AND NOT {desc} AND NOT {neg_price} AND NOT {neg_pct} AND NOT {algorithm} AND NOT {notes})",
+        "rule_10": f"({drug_unit} <> {drug_type})",
+    }
+
+
+_OTHER_STRING_COLS = [
+    c for c in CANONICAL_COLUMNS
+    if c not in PRICE_FIELDS and c not in TEXT_FIELDS and c not in {"modifiers", "code_type"}
+]
+
+
+def cleaned_charges_cte(lineitem_relation: str = "lineitem", *, dedup: bool = True) -> str:
+    """Full DuckDB mirror of ``pipeline.clean_charges``: derivation ->
+    code-type normalization -> price typing -> token scrub -> text &
+    modifier normalization -> algorithm flag -> code-format filter ->
+    global dedup. Returns a ``WITH``-clause body ending in relation
+    ``cleaned`` (canonical columns + code_type_raw +
+    negotiated_algorithm_invalid)."""
+    # code_type_raw FIRST: DuckDB/Spark lateral alias resolution binds
+    # later select items to earlier aliases, and the normalized
+    # `code_type` alias must not shadow the raw source column here.
+    exprs: list[str] = ["code_type AS code_type_raw"]
+    for c in CANONICAL_COLUMNS:
+        if c in PRICE_FIELDS:
+            exprs.append(f"{price_clean_sql(c, exempt=(c in PRICE_NULL_EXEMPT))} AS {c}")
+        elif c in TEXT_FIELDS:
+            exprs.append(f"{text_norm_sql(scrub_sql(c))} AS {c}")
+        elif c == "modifiers":
+            exprs.append(f"{modifiers_norm_sql(scrub_sql(c))} AS {c}")
+        elif c == "code_type":
+            exprs.append(f"{scrub_sql(code_type_norm_sql(c))} AS {c}")
+        else:
+            exprs.append(f"{scrub_sql(c)} AS {c}")
+    select_list = ",\n    ".join(exprs)
+    canon = ", ".join(CANONICAL_COLUMNS)
+    maybe_distinct = (
+        f"SELECT DISTINCT {canon}, code_type_raw FROM filtered"
+        if dedup
+        else f"SELECT {canon}, code_type_raw FROM filtered"
+    )
+    return f"""
+charges AS (
+{charges_sql(lineitem_relation)}
+),
+typed AS (
+  SELECT
+    {select_list}
+  FROM charges
+),
+flagged AS (
+  SELECT *, {algorithm_invalid_sql('negotiated_algorithm')} AS negotiated_algorithm_invalid
+  FROM typed
+),
+filtered AS (
+  SELECT * FROM flagged WHERE {code_format_valid_sql()}
+),
+cleaned AS (
+  SELECT *, {algorithm_invalid_sql('negotiated_algorithm')} AS negotiated_algorithm_invalid
+  FROM ({maybe_distinct})
+)
+""".strip()
+
+
+def tagged_charges_cte(lineitem_relation: str = "lineitem") -> str:
+    """cleaned + rule_1..rule_10 booleans + rules_violated string."""
+    preds = rule_predicates_sql()
+    pred_cols = ",\n    ".join(f"{sql} AS {name}" for name, sql in preds.items())
+    tags = ", ".join(f"CASE WHEN {name} THEN '{name}' END" for name in preds)
+    return f"""
+{cleaned_charges_cte(lineitem_relation)},
+tagged AS (
+  SELECT *, concat_ws(',', {tags}) AS rules_violated
+  FROM (SELECT *,
+    {pred_cols}
+  FROM cleaned)
+)
+""".strip()

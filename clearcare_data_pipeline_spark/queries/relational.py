@@ -1,0 +1,485 @@
+"""Core relational operator coverage on the TPC-H-ish tables.
+
+Scan/filter/project, hash & broadcast joins, semi/anti joins, set ops,
+group-by aggregation, window functions, top-k, dedup, explode/unpivot/
+pivot restructuring, fuzzy join, slug/zip scalar functions — the Spark
+re-expression of the reference's operator inventory (SURVEY.md §2)
+exercised on tables large enough to benchmark.
+
+Float-parity note: SUM over DOUBLE is order-dependent, so any summed
+money metric is computed in exact DECIMAL internally and cast to DOUBLE
+for output — bit-identical across engines regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.functions.text import slugify, zip_from_address
+from clearcare_data_pipeline_spark.schema import SLUG_STOPWORDS
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+
+def _dec(col, prec: int = 18, scale: int = 4):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# --- Q1: pricing summary (scan + filter + wide aggregate) ---------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    extp = _dec(F.col("l_extendedprice"), 15)
+    disc = _dec(F.col("l_discount"), 8)
+    tax = _dec(F.col("l_tax"), 8)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"), 15)).cast("double").alias("sum_qty"),
+            F.sum(extp).cast("double").alias("sum_base_price"),
+            F.sum(extp * (F.lit(1).cast("decimal(8,4)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(extp * (F.lit(1).cast("decimal(8,4)") - disc) * (F.lit(1).cast("decimal(8,4)") + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"), 15)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(extp).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping-priority style 3-way join + top-k ---------------------
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice"), 15) * (F.lit(1).cast("decimal(8,4)") - _dec(F.col("l_discount"), 8))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5: regional revenue (6-way join, broadcast dims) -------------------
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice"), 15) * (F.lit(1).cast("decimal(8,4)") - _dec(F.col("l_discount"), 8))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+_Q5_ORACLE = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- Q6: forecast revenue (pure scan-filter-agg; pushdown showcase) ------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"), 15) * _dec(F.col("l_discount"), 8))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- window functions ----------------------------------------------------
+
+
+def q_topk_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT c_mktsegment, rn, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+"""
+
+
+def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec(F.col("o_totalprice"), 15)).over(w).cast("double").alias("running_total"),
+        F.lag("o_totalprice").over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")).alias("prev_total"),
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total
+FROM orders
+"""
+
+
+# --- semi / anti joins ----------------------------------------------------
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_suppliers_with_heavy_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+_SEMI_ORACLE = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 48)
+"""
+
+
+# --- set operations --------------------------------------------------------
+
+
+def q_active_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+_UNION_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.exceptAll(supp).distinct()
+
+
+_EXCEPT_ORACLE = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_dedup_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select((F.col("l_orderkey") % 100).alias("bucket"), "l_returnflag", "l_linestatus")
+        .dropDuplicates()
+    )
+
+
+_DEDUP_ORACLE = """
+SELECT DISTINCT l_orderkey % 100 AS bucket, l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# --- restructuring: explode / unpivot / pivot -------------------------------
+
+
+def q_explode_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 analog: token array explode -> per-token counts."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), r"\s+")).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EXPLODE_ORACLE = """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split_regex(p_name, '\\s+')) AS token FROM part
+)
+WHERE length(token) > 0
+GROUP BY token
+"""
+
+
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 melt analog: wide numeric columns -> tall (key, metric, value)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+"""
+
+
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 regroup analog: pivot a small key domain into columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .na.fill(0, ["n_f", "n_o", "n_p"])
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- fuzzy top-1 join (J3) ---------------------------------------------------
+
+
+def q_fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity left join: misspelled nation names -> best exact-table
+    match by edit distance (top-1 per left row, deterministic ties)."""
+    nation = load_table(spark, sf_dir, "nation")
+    noisy = nation.select(
+        F.col("n_nationkey").alias("qkey"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.expr("substring(n_name, 1, length(n_name) - 1)"))
+        .otherwise(F.concat(F.col("n_name"), F.lit("X")))
+        .alias("qname"),
+    )
+    w = Window.partitionBy("qkey").orderBy(F.asc("dist"), F.asc("n_name"))
+    return (
+        noisy.crossJoin(F.broadcast(nation.select("n_name")))
+        .withColumn("dist", F.levenshtein("qname", "n_name"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qkey", "qname", F.col("n_name").alias("matched"), "dist")
+    )
+
+
+_FUZZY_ORACLE = """
+WITH noisy AS (
+  SELECT n_nationkey AS qkey,
+    CASE WHEN n_nationkey % 2 = 0 THEN substring(n_name, 1, length(n_name) - 1)
+         ELSE n_name || 'X' END AS qname
+  FROM nation
+),
+scored AS (
+  SELECT qkey, qname, n_name, levenshtein(qname, n_name) AS dist,
+    row_number() OVER (PARTITION BY qkey ORDER BY levenshtein(qname, n_name) ASC, n_name ASC) AS rn
+  FROM noisy CROSS JOIN (SELECT n_name FROM nation)
+)
+SELECT qkey, qname, n_name AS matched, dist FROM scored WHERE rn = 1
+"""
+
+
+# --- scalar identity functions (F8/F9) ----------------------------------------
+
+
+def q_slugify_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    pretty = F.concat(F.lit("St. Mary's "), F.col("n_name"), F.lit(" Medical Center & Clinic"))
+    return nation.select(
+        F.col("n_nationkey").alias("key"), pretty.alias("name"), slugify(pretty).alias("campus_id")
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in SLUG_STOPWORDS)
+_SLUG_ORACLE = f"""
+WITH src AS (
+  SELECT n_nationkey AS key, 'St. Mary''s ' || n_name || ' Medical Center & Clinic' AS name
+  FROM nation
+)
+SELECT key, name,
+  array_to_string(
+    list_filter(
+      list_filter(string_split_regex(trim(lower(regexp_replace(name, '[.,''\\-&]', '', 'g'))), '\\s+'),
+                  t -> length(t) > 0),
+      t -> NOT list_contains([{_STOP_LIST}], t)),
+    '_') AS campus_id
+FROM src
+"""
+
+
+def q_zip_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    addr = F.concat(
+        F.lit("42 Main St, Springfield, ST "),
+        (F.lit(10000) + F.col("c_custkey") % 89999).cast("string"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("-1234")).otherwise(F.lit("")),
+    )
+    return cust.select(
+        F.col("c_custkey").alias("key"),
+        addr.alias("address"),
+        zip_from_address(addr).alias("zip5"),
+    )
+
+
+_ZIP_ORACLE = """
+SELECT c_custkey AS key,
+  '42 Main St, Springfield, ST ' || CAST(10000 + c_custkey % 89999 AS STRING)
+    || CASE WHEN c_custkey % 2 = 0 THEN '-1234' ELSE '' END AS address,
+  coalesce(regexp_extract('42 Main St, Springfield, ST ' || CAST(10000 + c_custkey % 89999 AS STRING)
+    || CASE WHEN c_custkey % 2 = 0 THEN '-1234' ELSE '' END, '(\\d{5})(?:-\\d{4})?$', 1), '') AS zip5
+FROM customer
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_regional_revenue": q5_regional_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "topk_customers_per_segment": q_topk_customers_per_segment,
+    "running_order_total": q_running_order_total,
+    "customers_without_orders": q_customers_without_orders,
+    "suppliers_with_heavy_lineitems": q_suppliers_with_heavy_lineitems,
+    "active_nation_keys": q_active_nation_keys,
+    "customer_only_nations": q_customer_only_nations,
+    "dedup_order_lines": q_dedup_order_lines,
+    "explode_part_tokens": q_explode_part_tokens,
+    "unpivot_part_metrics": q_unpivot_part_metrics,
+    "pivot_order_status": q_pivot_order_status,
+    "fuzzy_match_nations": q_fuzzy_match_nations,
+    "slugify_names": q_slugify_names,
+    "zip_extraction": q_zip_extraction,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_ORACLE,
+    "q3_top_revenue_orders": _Q3_ORACLE,
+    "q5_regional_revenue": _Q5_ORACLE,
+    "q6_forecast_revenue": _Q6_ORACLE,
+    "topk_customers_per_segment": _TOPK_ORACLE,
+    "running_order_total": _RUNNING_ORACLE,
+    "customers_without_orders": _ANTI_ORACLE,
+    "suppliers_with_heavy_lineitems": _SEMI_ORACLE,
+    "active_nation_keys": _UNION_ORACLE,
+    "customer_only_nations": _EXCEPT_ORACLE,
+    "dedup_order_lines": _DEDUP_ORACLE,
+    "explode_part_tokens": _EXPLODE_ORACLE,
+    "unpivot_part_metrics": _UNPIVOT_ORACLE,
+    "pivot_order_status": _PIVOT_ORACLE,
+    "fuzzy_match_nations": _FUZZY_ORACLE,
+    "slugify_names": _SLUG_ORACLE,
+    "zip_extraction": _ZIP_ORACLE,
+}

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings
+are the ones we would ship as cluster defaults (AQE on, skew-join
+handling on, Arrow on, UTC session time zone so results are
+timezone-stable and comparable against UTC-naive engines like DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "clearcare-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    ``shuffle_partitions`` defaults to the local core count: at local
+    test scale one partition per core avoids over-parallelizing tiny
+    shuffles; on a real cluster this is overridden (or left to AQE
+    coalescing, which is enabled).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = os.cpu_count() or 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet scans: 128 MiB split targets keep partitions
+        # executor-memory-safe at large SF while remaining the right
+        # granularity for local[32] over small files.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return builder.getOrCreate()

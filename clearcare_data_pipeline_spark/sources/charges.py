@@ -1,0 +1,191 @@
+"""Deterministic synthetic charges table derived from ``lineitem``.
+
+The driver's correctness gate compares Spark queries against DuckDB on
+the same parquet tables (BASELINE.md t2). There is no materialized
+``charges_raw`` table, so we derive one deterministically from
+``lineitem`` with a single SQL text written in the dialect subset both
+Spark SQL and DuckDB parse identically — guaranteeing both engines see
+byte-identical raw charges before the cleaning operators under test run.
+
+The derivation intentionally injects every noise class from
+FIXTURES.md §1: ``$``/``%`` money noise, the 999999999 placeholder,
+non-positive prices, garbage numerics, ``N/A`` tokens, case/space slop,
+raw code-type variants needing normalization (``MS-DRG``, ``icd-10``),
+unknown types, blank codes/types (rule-3 XOR cases), drug unit/type
+mismatches (rule-10), pipe/comma modifier slop, and exact duplicate
+rows (every k % 97 == 0 row is emitted twice) for the dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+# Shared Spark-SQL/DuckDB dialect. `{lineitem}` is the relation name.
+_CHARGES_SQL_TEMPLATE = """
+WITH base AS (
+  SELECT
+    l_orderkey * 7 + l_linenumber             AS k,
+    l_partkey                                 AS pk,
+    l_suppkey                                 AS sk,
+    CAST(FLOOR(l_extendedprice) AS BIGINT)    AS price_int,
+    CAST(FLOOR(l_discount * 100) AS BIGINT)   AS disc_int,
+    CAST(FLOOR(l_quantity) AS BIGINT)         AS qty_int
+  FROM {lineitem}
+),
+proj AS (
+  SELECT
+    k,
+    'Hospital ' || CAST(sk AS STRING)         AS hospital_name,
+    CAST(10000 + pk % 89999 AS STRING)        AS zip_code,
+    CASE WHEN k % 11 = 0 THEN ''
+         WHEN k % 7 = 0 THEN 'XX'
+         ELSE CASE k % 10
+           WHEN 0 THEN lpad(CAST(pk % 100000 AS STRING), 5, '0')
+           WHEN 1 THEN 'A' || lpad(CAST(pk % 10000 AS STRING), 4, '0')
+           WHEN 2 THEN 'E11.' || CAST(pk % 10 AS STRING)
+           WHEN 3 THEN lpad(CAST(pk % 1000 AS STRING), 3, '0')
+           WHEN 4 THEN 'D' || lpad(CAST(pk % 10000 AS STRING), 4, '0')
+           WHEN 5 THEN lpad(CAST(pk AS STRING), 10, '0')
+           WHEN 6 THEN lpad(CAST(pk % 10000 AS STRING), 4, '0')
+           WHEN 7 THEN 'J' || lpad(CAST(pk % 1000 AS STRING), 3, '0')
+           WHEN 8 THEN 'L' || CAST(pk AS STRING)
+           ELSE lpad(CAST(pk % 100000 AS STRING), 5, '0')
+         END
+    END                                       AS code,
+    CASE k % 10
+      WHEN 0 THEN 'CPT'    WHEN 1 THEN 'hcpcs' WHEN 2 THEN 'ICD'
+      WHEN 3 THEN 'MS-DRG' WHEN 4 THEN 'CDT'   WHEN 5 THEN 'NDC'
+      WHEN 6 THEN 'APC'    WHEN 7 THEN 'icd-10'
+      WHEN 8 THEN 'LOCAL'  ELSE ''
+    END                                       AS code_type,
+    CASE WHEN k % 13 = 0 THEN 'N/A'
+         WHEN k % 19 = 0 THEN 'not applicable'
+         WHEN k % 17 = 0 THEN ''
+         ELSE 'Procedure ' || CAST(pk AS STRING)
+    END                                       AS description,
+    CASE WHEN k % 10 = 5 AND k % 3 <> 0 THEN CAST(qty_int AS STRING)
+         WHEN k % 23 = 0 THEN '5'
+         ELSE ''
+    END                                       AS drug_unit,
+    CASE WHEN k % 10 = 5 AND k % 4 <> 0 THEN 'ML'
+         WHEN k % 29 = 0 THEN 'GR'
+         ELSE ''
+    END                                       AS drug_type,
+    CASE k % 6
+      WHEN 0 THEN 'Aetna'
+      WHEN 1 THEN '  Blue Cross Blue Shield '
+      WHEN 2 THEN 'CIGNA'
+      WHEN 3 THEN 'UnitedHealthcare'
+      WHEN 4 THEN ''
+      ELSE 'Medicare'
+    END                                       AS payer_name,
+    CASE k % 6
+      WHEN 0 THEN 'AET001'
+      WHEN 1 THEN 'BCBS'
+      WHEN 3 THEN 'UHC'
+      ELSE ''
+    END                                       AS payer_id,
+    CASE k % 5
+      WHEN 0 THEN 'PPO' WHEN 1 THEN 'HMO' WHEN 2 THEN ''
+      WHEN 3 THEN ' POS  ' ELSE 'EPO'
+    END                                       AS plan_name,
+    CASE k % 6
+      WHEN 0 THEN '$' || CAST(price_int AS STRING)
+      WHEN 1 THEN CAST(price_int AS STRING)
+      WHEN 2 THEN '999999999'
+      WHEN 3 THEN '0'
+      WHEN 4 THEN 'N/A'
+      ELSE ''
+    END                                       AS negotiated_price,
+    CASE k % 4
+      WHEN 0 THEN CAST(disc_int AS STRING) || '%'
+      WHEN 1 THEN CAST(disc_int AS STRING)
+      ELSE ''
+    END                                       AS negotiated_percentage,
+    CASE k % 8
+      WHEN 0 THEN 'percent of billed charges'
+      WHEN 1 THEN '12345'
+      WHEN 2 THEN '$ 99 %'
+      ELSE ''
+    END                                       AS negotiated_algorithm,
+    CASE k % 5
+      WHEN 0 THEN 'Fee Schedule'
+      WHEN 1 THEN 'percent of total billed charges'
+      WHEN 2 THEN 'Other'
+      WHEN 3 THEN 'case rate'
+      ELSE ''
+    END                                       AS negotiated_methodology,
+    CASE k % 3
+      WHEN 0 THEN '$' || CAST(price_int + 100 AS STRING)
+      WHEN 1 THEN CAST(price_int + 100 AS STRING)
+      ELSE ''
+    END                                       AS gross_charge,
+    CASE WHEN k % 4 = 0 THEN CAST(price_int - 50 AS STRING) ELSE '' END
+                                              AS discounted_cash_price,
+    CASE WHEN k % 2 = 0 THEN CAST(price_int - 200 AS STRING) ELSE '' END
+                                              AS min_price,
+    CASE WHEN k % 3 = 0 THEN CAST(price_int + 200 AS STRING) ELSE '' END
+                                              AS max_price,
+    CASE k % 5
+      WHEN 0 THEN '999999999'
+      WHEN 1 THEN '-10'
+      WHEN 2 THEN '$' || CAST(price_int AS STRING)
+      ELSE ''
+    END                                       AS estimated_amount,
+    CASE k % 4
+      WHEN 0 THEN 'Inpatient'
+      WHEN 1 THEN 'outpatient '
+      WHEN 2 THEN 'OUTPATIENT'
+      ELSE ''
+    END                                       AS setting,
+    CASE WHEN k % 9 = 0 THEN 'See policy ' || CAST(sk AS STRING)
+         WHEN k % 9 = 1 THEN 'n/a'
+         ELSE ''
+    END                                       AS additional_notes,
+    CASE k % 7
+      WHEN 0 THEN '26, tc'
+      WHEN 1 THEN '59|TC'
+      WHEN 2 THEN 'gz'
+      WHEN 3 THEN '26 50'
+      ELSE ''
+    END                                       AS modifiers
+  FROM base
+)
+SELECT hospital_name, zip_code, code, code_type, description, drug_unit,
+       drug_type, payer_name, payer_id, plan_name, negotiated_price,
+       negotiated_percentage, negotiated_algorithm, negotiated_methodology,
+       gross_charge, discounted_cash_price, min_price, max_price,
+       estimated_amount, setting, additional_notes, modifiers
+FROM (
+  SELECT * FROM proj
+  UNION ALL
+  SELECT * FROM proj WHERE k % 97 = 0
+)
+"""
+
+
+def charges_sql(lineitem_relation: str = "lineitem") -> str:
+    """The derivation SQL against a named lineitem relation — used
+    verbatim by the DuckDB oracle (as a CTE body) and by Spark."""
+    return _CHARGES_SQL_TEMPLATE.format(lineitem=lineitem_relation)
+
+
+def charges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the shared derivation (all-string canonical table).
+
+    The result is ``cache()``d: this is the extract->clean stage
+    boundary, which the reference materializes as the extracted CSV
+    (SURVEY.md §3). A materialization point here (a) lets every
+    downstream query/stage share one derivation pass (Spark caches by
+    logical plan, so all charges queries in a session reuse it), and
+    (b) stops the optimizer substituting the 22 derivation CASE trees
+    into downstream validation predicates and pushing the resulting
+    45 KB filter below the scan's repartition (observed: it serialized
+    the whole pipeline onto the scan's single task). At production
+    scale the same boundary would be a parquet/Delta checkpoint of the
+    extracted table.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(charges_sql("lineitem")).cache()

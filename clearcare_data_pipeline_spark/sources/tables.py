@@ -1,0 +1,43 @@
+"""Loaders for the driver-provided synthetic parquet tables (TESTDATA.md)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clearcare_data_pipeline_spark.schema import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Dimension tables stay un-repartitioned: they are broadcast-join sides
+# and a shuffle would only add cost.
+_DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one synthetic table. Explicit parquet (not
+    inferred CSV) keeps pushdown + column pruning available.
+
+    Small-scan rebalancing: the test fixtures are single-row-group
+    parquet files, which are unsplittable — one task would execute
+    every downstream projection. When a fact-table scan yields fewer
+    partitions than the session parallelism, redistribute once up
+    front (a few-MB shuffle) so per-row operators use every core. On
+    real multi-file/multi-row-group data the scan already has
+    >= parallelism splits and this is a no-op.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name not in _DIM_TABLES:
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(parallelism, 16):
+            df = df.repartition(parallelism)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each table as a temp view so SQL-expressed plans can
+    name them (same names the DuckDB oracle uses)."""
+    for name in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

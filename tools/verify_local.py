@@ -1,0 +1,122 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names, and order-insensitive values
+(doubles rounded to 6 decimals before comparison).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from clearcare_data_pipeline_spark.schema import TESTDATA_TABLES  # noqa: E402
+from clearcare_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: round(v, 6)
+                if isinstance(v, float) and not math.isnan(v)
+                else (tuple(v) if isinstance(v, (list, tuple)) else v)
+            )
+    try:
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    except Exception:
+        df = df.iloc[df.astype(str).apply(tuple, axis=1).argsort()].reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        problems.append(f"columns spark={scols} duck={dcols}")
+        return problems
+    if problems:
+        return problems
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = pd.to_numeric(av, errors="coerce").round(6)
+            bv = pd.to_numeric(bv, errors="coerce").round(6)
+            eq = (av.fillna(-1.23456e300) == bv.fillna(-1.23456e300)).all()
+        else:
+            eq = (av.astype(str) == bv.astype(str)).all()
+        if not eq:
+            mism = (av.astype(str) != bv.astype(str)) if not pd.api.types.is_float_dtype(av) else (
+                av.fillna(-1.23456e300) != bv.fillna(-1.23456e300)
+            )
+            idx = mism[mism].index[:3]
+            examples = [(c, av.loc[i], bv.loc[i]) for i in idx]
+            problems.append(f"values differ in col {c}: {examples}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("verify-local")
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    failed, passed, rows_only = [], [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}: " + "; ".join(p[:400] for p in problems))
+        else:
+            passed.append(name)
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
