@@ -1,0 +1,158 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding near-dup.
+
+Designed for the 100 TB regime:
+
+* exact dedup    — hash aggregate on a content fingerprint (one
+                   shuffle keyed by a 16-byte digest instead of the
+                   full row).
+* MinHash-LSH    — shingle -> k independent min-hashes -> banded
+                   bucket keys; only docs sharing a band key are ever
+                   paired, so the candidate join is keyed and local,
+                   never an all-pairs product.
+* SimHash        — 16-bit per-doc signature; equal signatures bucket
+                   near-identical token sets.
+* n-gram Jaccard — exact verify step over candidate pairs (or, at
+                   small scale, over the shingle-share join).
+
+Hash function note: min-hashes use md5(seed || '|' || shingle) so the
+same signatures are computable in any engine (the correctness oracle
+reproduces them in SQL); md5 here is a deterministic mixer, not a
+security primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.textstats import fingerprint_expr, words_expr
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized content (min id wins —
+    deterministic, unlike dropDuplicates' arbitrary pick)."""
+    fp = fingerprint_expr(F.col(text_col))
+    w = df.withColumn("_fp", fp)
+    keep = w.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    return w.join(keep, ["_fp", "doc_id"], "inner").drop("_fp")
+
+
+def shingles_expr(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles as an array of strings."""
+    tokens = words_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5) -> DataFrame:
+    """(doc_id, shingle) exploded pairs, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """(doc_id, seed, minhash) -> one row per doc per seed.
+
+    Minhash_s(doc) = min over shingles of md5(s || '|' || shingle);
+    k independent permutations approximated by k salted hashes.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    salted = shingled.select("doc_id", "shingle", seeds).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")).cast("binary")).alias("h"),
+    )
+    return salted.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
+    """(doc_id, band, band_key): band_key = md5 of the band's
+    seed-ordered minhashes. Docs agreeing on ANY band key are
+    candidate near-duplicates."""
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+            ).cast("binary")
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct (a, b) doc pairs (a < b) sharing at least one band —
+    a keyed self-join on (band, band_key), never a cross product."""
+    left = band_keys.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
+    right = band_keys.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, min_jaccard: float = 0.8, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard over doc pairs sharing >= 1 shingle
+    (optionally restricted to LSH candidates): |A∩B| / |A∪B|."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.select(F.col("doc_id").alias("a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({"doc_id": "b", "sz": "sz_b"}), "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit_i = majority vote of
+    md5(token) hex-digit parities. Engine-portable (strpos arithmetic,
+    no native bit ops on binary)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(words_expr(F.col(text_col)))).alias("tok"),
+    ).withColumn("th", F.md5(F.col("tok").cast("binary")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = toks.select("doc_id", "th", bit).select(
+        "doc_id",
+        "bit",
+        (
+            ((F.instr(F.lit(_HEX), F.substring(F.col("th"), F.col("bit") + 1, 1)) - 1) % 2) * 2 - 1
+        ).alias("vote"),
+    )
+    bitvals = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return bitvals.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

@@ -1,0 +1,113 @@
+"""Similarity-search operators over embedding columns.
+
+Brute-force cosine top-k as the correctness baseline, plus a
+hyperplane-LSH bucketed variant as the scale path: at 100 TB the
+bucket join replaces the all-pairs product — candidates are co-located
+by bucket key (one shuffle), and only intra-bucket pairs are scored.
+
+All vector math is JVM-side higher-order functions (zip_with +
+aggregate over DOUBLE) — no UDFs, stays in codegen, and the sequential
+left-fold makes the dot product bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic integer-valued hyperplanes: plane_j[i] = ((i*37 + j*101) % 19) - 9.
+NUM_PLANES = 8
+PLANE_DIM = 64
+
+
+def _plane(j: int) -> list[float]:
+    return [float(((i * 37 + j * 101) % 19) - 9) for i in range(PLANE_DIM)]
+
+
+def as_double_vec(col: Column) -> Column:
+    """float32 array -> double array (exact widening; all downstream
+    arithmetic is then engine-portable)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (bit-reproducible)."""
+    products = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(v: Column) -> Column:
+    return F.sqrt(dot_expr(v, v))
+
+
+def cosine_expr(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot_expr(a, b) / (norm_a * norm_b)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add dvec (double array) + norm once; downstream joins reuse them."""
+    dv = as_double_vec(F.col(vec_col))
+    return df.withColumn("dvec", dv).withColumn("norm", norm_expr(F.col("dvec")))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction);
+    candidates stream, so the scan parallelism is preserved and no
+    all-pairs shuffle materializes. Ranking key is
+    (round(cos,6) DESC, neighbor ASC) — fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    cand = with_norm(vectors, "embedding").select(
+        F.col(id_col).alias("neighbor_id"), "dvec", "norm"
+    )
+    q = with_norm(queries, "embedding").select(
+        F.col(id_col).alias("query_id"), F.col("dvec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(dot_expr(F.col("dvec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def lsh_bucket_expr(dvec: Column) -> Column:
+    """8-bit hyperplane signature: bit j set iff dot(v, plane_j) >= 0."""
+    bucket = F.lit(0)
+    for j in range(NUM_PLANES):
+        plane = F.array(*[F.lit(w) for w in _plane(j)])
+        bucket = bucket + F.when(dot_expr(dvec, plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    d = with_norm(df, "embedding")
+    return d.select(F.col(id_col), lsh_bucket_expr(F.col("dvec")).alias("bucket"), "dvec", "norm")
+
+
+def lsh_near_dup_pairs(df: DataFrame, min_cosine: float = 0.99, id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate vector pairs: bucket by hyperplane signature,
+    score only intra-bucket pairs (the 100 TB-safe plan: a keyed
+    self-join, never a cross product)."""
+    b = lsh_buckets(df, id_col)
+    left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
+    right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        left.join(right, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cos_sim") >= min_cosine)
+        .select("a", "b", "cos_sim")
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines (all builtins).
+
+Beyond-reference scope (BASELINE.json north star): language-ID
+heuristic, quality scoring, token counting, and document
+fingerprinting over a text column. Everything is JVM-side column
+expressions — at 100 TB these run inside whole-stage codegen with no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# heuristic. Deterministic tie-break order = this dict's order.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en"],
+    "de": ["der", "die", "das", "und", "zu", "ist"],
+    "fr": ["le", "la", "de", "et", "est", "dans"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+# BPE-ish token classes: letter runs, digit runs, single punctuation.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_expr(text: Column) -> Column:
+    """Whitespace tokenization -> non-empty token array."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(words_expr(text))
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Sub-word-ish token count via the regex token classes."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def stopword_ratio_expr(tokens: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are in the stopword set (0.0 when the
+    doc is empty)."""
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(stop, F.lower(t))))
+    return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    return {lang: stopword_ratio_expr(tokens, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id_expr(tokens: Column) -> Column:
+    """argmax over language stopword ratios; ties resolve in
+    LANG_STOPWORDS declaration order; all-zero -> 'und'."""
+    scores = lang_scores(tokens)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # build reversed so the FIRST declared language wins ties
+    for lang in reversed(list(scores)):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Punctuation chars / total chars (0.0 for empty)."""
+    n = F.length(text)
+    n_clean = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, (n - n_clean) / n).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length saturation (40%),
+    stopword mass (40%), low punctuation (20%)."""
+    tokens = words_expr(text)
+    length_part = F.least(F.lit(1.0), F.size(tokens) / F.lit(100.0))
+    stop_part = stopword_ratio_expr(tokens, LANG_STOPWORDS["en"])
+    punct_part = F.lit(1.0) - punct_ratio_expr(text)
+    return F.round(0.4 * length_part + 0.4 * stop_part + 0.2 * punct_part, 6)
+
+
+def normalize_text_for_fp_expr(text: Column) -> Column:
+    """Fingerprint normalization: lower + whitespace squeeze."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Content fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text_for_fp_expr(text).cast("binary"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per doc: token counts, language guess, quality score,
+    fingerprint — the standard per-document feature pass."""
+    text = F.col(text_col)
+    tokens = words_expr(text)
+    return df.select(
+        F.col(id_col),
+        token_count_expr(text).alias("n_tokens"),
+        bpe_token_count_expr(text).alias("n_bpe_tokens"),
+        F.length(text).alias("n_chars"),
+        lang_id_expr(tokens).alias("lang_guess"),
+        quality_score_expr(text).alias("quality"),
+        fingerprint_expr(text).alias("fingerprint"),
+    )

@@ -1,3 +1,181 @@
-"""Placeholder — populated in this round."""
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Event-stream analytics on the ``events`` table (batch side).
+
+Beyond-reference operators (SURVEY.md §7 Milestone 3): tumbling and
+sliding time windows, gap-based sessionization, JSON property
+extraction, and per-type stats. The same transformations run under
+Structured Streaming in clearcare_data_pipeline_spark/streaming/ —
+here they are expressed in batch for the oracle gate.
+
+Session semantics note: Spark's ``session_window(ts, gap)`` closes a
+session when the next event is >= last_ts + gap (windows are
+half-open). The SQL oracle reproduces exactly that with a lag/cumsum
+session numbering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+_GAP_MIN = 30
+
+# Oracle-side events relation: parquet TIMESTAMP_NS truncated to the
+# same microsecond precision the Spark loader uses.
+_EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events"
+
+
+def _dec(col, prec: int = 18, scale: int = 4):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"), 15)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS total_value
+FROM {EV}
+GROUP BY 1, 2
+""".format(EV=_EV)
+
+
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 15 minutes (each event lands in
+    two windows; epoch-aligned starts, exactly F.window semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"), 15)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+_SLIDING_ORACLE = """
+WITH hits AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS window_start,
+         value
+  FROM {EV} CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT window_start, count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS total_value
+FROM hits
+GROUP BY window_start
+""".format(EV=_EV)
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user via Spark-native session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"), 15)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL {_GAP_MIN} MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM {_EV}
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL {_GAP_MIN} MINUTE AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_type_minute_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type per-10-minute event counts — dashboard-style rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+
+
+_RATE_ORACLE = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS bucket,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "events_tumbling_hourly": q_events_tumbling_hourly,
+    "events_sliding_windows": q_events_sliding_windows,
+    "events_sessionization": q_events_sessionization,
+    "events_json_props": q_events_json_props,
+    "events_type_minute_rate": q_events_type_minute_rate,
+}
+
+ORACLES = {
+    "events_tumbling_hourly": _TUMBLING_ORACLE,
+    "events_sliding_windows": _SLIDING_ORACLE,
+    "events_sessionization": _SESSION_ORACLE,
+    "events_json_props": _JSON_ORACLE,
+    "events_type_minute_rate": _RATE_ORACLE,
+}

@@ -1,3 +1,175 @@
-"""Placeholder — populated in this round."""
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Embedding similarity queries with DuckDB oracles.
+
+The oracle reproduces the exact sequential-fold dot product (DuckDB
+``list_reduce`` over an index-ordered product list == Spark
+``aggregate`` over ``zip_with``), so cosine scores are bit-identical
+before the final round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.similarity import (
+    NUM_PLANES,
+    _plane,
+    cosine_topk,
+    lsh_buckets,
+    lsh_near_dup_pairs,
+    with_norm,
+)
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+_TOPK = 5
+_QUERY_MOD = 97
+_NEAR_DUP_MOD = 50
+_MIN_COS = 0.99
+
+
+def _dot(a: str, b: str) -> str:
+    return f"list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+
+
+_DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- brute-force cosine top-k ------------------------------------------
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _emb(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % _QUERY_MOD == 0)
+    return cosine_topk(vecs, queries, k=_TOPK)
+
+
+_TOPK_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm
+  FROM (SELECT vec_id, {_DV} AS dv FROM embeddings)
+),
+q AS (SELECT * FROM n WHERE vec_id % {_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({_dot('c.dv', 'q.dv')} / (c.nrm * q.nrm), 6) AS cos_sim
+  FROM n c, q WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= {_TOPK}
+"""
+
+
+# --- hyperplane LSH buckets --------------------------------------------
+
+
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(_emb(spark, sf_dir)).select("vec_id", "bucket")
+
+
+def _bucket_sql(dv: str = "dv") -> str:
+    terms = []
+    for j in range(NUM_PLANES):
+        plane = "[" + ", ".join(str(int(w)) for w in _plane(j)) + "]"
+        terms.append(f"CASE WHEN {_dot(dv, plane)} >= 0 THEN {2**j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_BUCKETS_ORACLE = f"""
+SELECT vec_id, {_bucket_sql('dv')} AS bucket
+FROM (SELECT vec_id, {_DV} AS dv FROM embeddings)
+"""
+
+
+# --- LSH-bucketed near-duplicate pairs ---------------------------------
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-copy corpus -> bucketed near-dup detection."""
+    vecs = _emb(spark, sf_dir)
+    copies = vecs.where(F.col("vec_id") % _NEAR_DUP_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return lsh_near_dup_pairs(vecs.unionByName(copies), min_cosine=_MIN_COS)
+
+
+_NEAR_DUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT * FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % {_NEAR_DUP_MOD} = 0
+),
+n AS (
+  SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm, {_bucket_sql('dv')} AS bucket
+  FROM (SELECT vec_id, {_DV} AS dv FROM corpus)
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+  round({_dot('l.dv', 'r.dv')} / (l.nrm * r.nrm), 6) AS cos_sim
+FROM n l JOIN n r USING (bucket)
+WHERE l.vec_id < r.vec_id
+  AND round({_dot('l.dv', 'r.dv')} / (l.nrm * r.nrm), 6) >= {_MIN_COS}
+"""
+
+
+# --- per-label aggregates ----------------------------------------------
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_norm(_emb(spark, sf_dir))
+    return (
+        d.select("label", F.posexplode("dvec").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_CENTROIDS_ORACLE = f"""
+SELECT label, pos, round(avg(dv[pos + 1]), 6) AS centroid_v, count(*) AS n
+FROM (SELECT label, {_DV} AS dv FROM embeddings),
+     (SELECT unnest(range(0, 64)) AS pos)
+GROUP BY label, pos
+"""
+
+
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_norm(_emb(spark, sf_dir))
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+_NORM_STATS_ORACLE = f"""
+SELECT label, count(*) AS n,
+  round(min(nrm), 6) AS min_norm,
+  round(max(nrm), 6) AS max_norm
+FROM (SELECT label, sqrt({_dot('dv', 'dv')}) AS nrm
+      FROM (SELECT label, {_DV} AS dv FROM embeddings))
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "emb_label_centroids": q_emb_label_centroids,
+    "emb_norm_stats": q_emb_norm_stats,
+}
+
+ORACLES = {
+    "emb_cosine_topk": _TOPK_ORACLE,
+    "emb_lsh_buckets": _BUCKETS_ORACLE,
+    "emb_near_dup_pairs": _NEAR_DUP_ORACLE,
+    "emb_label_centroids": _CENTROIDS_ORACLE,
+    "emb_norm_stats": _NORM_STATS_ORACLE,
+}

@@ -1,3 +1,290 @@
-"""Placeholder — populated in this round."""
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Document/text-analysis queries with DuckDB oracles.
+
+Corpus variants are derived deterministically from ``documents`` in
+both engines (planted exact and near duplicates) so the dedup
+operators have non-trivial positives to find at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from clearcare_data_pipeline_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    text_stats,
+)
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+_NUM_HASHES = 12
+_ROWS_PER_BAND = 3
+_SHINGLE_N = 5
+
+
+# --- deterministic corpora (planted duplicates), both engines ----------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def corpus_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + verbatim copies of every doc_id % 7 == 0 doc."""
+    d = _docs(spark, sf_dir)
+    dups = d.where(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    return d.unionByName(dups)
+
+
+_CORPUS_EXACT_SQL = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + suffix-perturbed copies of every doc_id % 10 == 0
+    doc (near-duplicates: shingle sets overlap heavily)."""
+    d = _docs(spark, sf_dir)
+    dups = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz yy xx")))
+    )
+    return d.unionByName(dups)
+
+
+_CORPUS_NEAR_SQL = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' zz yy xx' AS text, lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+# --- shared oracle fragments ------------------------------------------
+
+_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+
+_SHINGLES_SQL = f"""
+shingled AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(0, greatest(len(w) - {_SHINGLE_N}, 0) + 1),
+             i -> array_to_string(w[i + 1 : i + {_SHINGLE_N}], ' '))) AS shingle
+    FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)
+  ) WHERE length(shingle) > 0
+)
+"""
+
+_MINHASH_SQL = f"""
+{_SHINGLES_SQL},
+salted AS (
+  SELECT doc_id, seed, md5(CAST(seed AS STRING) || '|' || shingle) AS h
+  FROM shingled CROSS JOIN (SELECT unnest(range(0, {_NUM_HASHES})) AS seed)
+),
+signatures AS (
+  SELECT doc_id, seed, min(h) AS minhash FROM salted GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // {_ROWS_PER_BAND} AS INT) AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+  FROM signatures GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+)
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in LANG_STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(w) > 0 THEN "
+        f"len(list_filter(w, t -> list_contains([{toks}], lower(t)))) / len(w) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _doc_stats_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    scores = ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{lg} > 0 AND s_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, text, {_WORDS} AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, text, w, {scores},
+    len(w) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    length(text) AS n_chars
+  FROM w0
+)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+  CAST(n_chars AS INT) AS n_chars,
+  {lang_case} AS lang_guess,
+  round(0.4 * least(1.0, n_tokens / 100.0) + 0.4 * s_en + 0.2 * (1.0 - {punct}), 6) AS quality,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM scored
+"""
+
+
+def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup fingerprint groups (>1 member) on the planted corpus."""
+    from clearcare_data_pipeline_spark.operators.textstats import fingerprint_expr
+
+    c = corpus_exact_dups(spark, sf_dir)
+    return (
+        c.select(F.col("doc_id"), fingerprint_expr(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+        .where(F.col("n") > 1)
+    )
+
+
+_DUP_GROUPS_ORACLE = f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL})
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n, min(doc_id) AS min_doc
+FROM corpus
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of exact dedup on the planted corpus (min id wins)."""
+    c = corpus_exact_dups(spark, sf_dir)
+    return exact_dedup(c).select("doc_id", "lang", "source")
+
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL}),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM corpus
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT c.doc_id, c.lang, c.source FROM corpus c JOIN keep USING (doc_id)
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.7)."""
+    sh = doc_shingles(corpus_near_dups(spark, sf_dir), n=_SHINGLE_N)
+    return jaccard_pairs(sh, min_jaccard=0.7)
+
+
+_JACCARD_ORACLE = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+{_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM shingled s1 JOIN shingled s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7
+"""
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs on the planted corpus."""
+    sh = doc_shingles(corpus_near_dups(spark, sf_dir), n=_SHINGLE_N)
+    sigs = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    return lsh_candidate_pairs(lsh_band_keys(sigs, rows_per_band=_ROWS_PER_BAND))
+
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+{_MINHASH_SQL}
+SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+FROM bands b1 JOIN bands b2 USING (band, band_key)
+WHERE b1.doc_id < b2.doc_id
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> length(t) > 0)) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, bit,
+    ((strpos('0123456789abcdef', substr(md5(tok), bit + 1, 1)) - 1) % 2) * 2 - 1 AS vote
+  FROM (SELECT doc_id, md5(tok) AS mh, tok FROM toks),
+       (SELECT unnest(range(0, 16)) AS bit)
+),
+bitsums AS (
+  SELECT doc_id, bit, sum(vote) AS s FROM votes GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsums GROUP BY doc_id
+"""
+
+
+def q_doc_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup: doc counts and char mass by (lang, source)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "doc_dup_groups": q_doc_dup_groups,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "doc_lang_source_rollup": q_doc_lang_source_rollup,
+}
+
+ORACLES = {
+    "doc_stats": _doc_stats_oracle(),
+    "doc_dup_groups": _DUP_GROUPS_ORACLE,
+    "doc_exact_dedup": _EXACT_DEDUP_ORACLE,
+    "doc_ngram_jaccard": _JACCARD_ORACLE,
+    "doc_minhash_lsh": _MINHASH_ORACLE,
+    "doc_simhash": _SIMHASH_ORACLE,
+    "doc_lang_source_rollup": _ROLLUP_ORACLE,
+}

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clearcare_data_pipeline_spark.schema import TESTDATA_TABLES
 
@@ -28,7 +29,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     real multi-file/multi-row-group data the scan already has
     >= parallelism splits and this is a no-op.
     """
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot
+        # read natively; read nanos as LONG and truncate to
+        # microseconds (same truncation DuckDB applies casting
+        # TIMESTAMP_NS -> TIMESTAMP).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if name not in _DIM_TABLES:
         parallelism = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < min(parallelism, 16):
