@@ -1,0 +1,154 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travels as opaque BINARY columns with typed metadata; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` operators, so the expensive Python work is vectorized
+per partition and the Spark-side plumbing (schema, partitioning, batch
+shape) is identical to what a real codec-backed deployment would use.
+
+The actual codecs (Pillow / torchaudio / pyav) are NOT in this
+container, so the decode kernels are STUBBED: if the library imports,
+the real path runs; otherwise a clearly-marked deterministic fake
+parses our own fake header format. The fake is enough to exercise and
+test every Spark-side contract.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - codec not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("source_uri", StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("format", StringType(), True),
+        StructField("checksum", LongType(), True),
+    ]
+)
+
+# Fake header: magic 'FIMG' + u16 width + u16 height (little-endian).
+_FAKE_MAGIC = b"FIMG"
+
+
+def make_fake_image_bytes(width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake 'image': header + seeded payload bytes."""
+    payload = bytes((seed * 31 + i * 7) % 256 for i in range(64))
+    return _FAKE_MAGIC + struct.pack("<HH", width, height) + payload
+
+
+def make_fake_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    rows = [
+        (
+            i,
+            "image",
+            make_fake_image_bytes(64 + (i % 8) * 16, 48 + (i % 5) * 16, i),
+            f"mem://fake/{i}.fimg",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_header(content: bytes) -> tuple[int | None, int | None, str]:
+    """STUB decode. Real codecs are not installed in this container;
+    with Pillow present this would be Image.open(BytesIO(content))."""
+    if _HAS_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "Real image decode path requires exercising Pillow; "
+            "enable and implement when the codec is available."
+        )
+    if content and content[:4] == _FAKE_MAGIC and len(content) >= 8:
+        w, h = struct.unpack("<HH", content[4:8])
+        return int(w), int(h), "fimg"
+    return None, None, "unknown"
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract images via Arrow-batched mapInPandas."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                w, h, fmt = _decode_header(blob)
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "n_bytes": len(blob),
+                        "width": w,
+                        "height": h,
+                        "format": fmt,
+                        "checksum": sum(blob) % (1 << 31),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "image").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stub: re-emits a fake image with the target dimensions
+    (real path would decode, resample, re-encode per batch)."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                if blob[:4] == _FAKE_MAGIC:
+                    resized = _FAKE_MAGIC + struct.pack("<HH", target_w, target_h) + blob[8:]
+                else:
+                    resized = None
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": target_w,
+                        "height": target_h,
+                        "content": resized,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "image").mapInPandas(do_resize, RESIZED_SCHEMA)

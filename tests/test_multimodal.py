@@ -1,0 +1,53 @@
+"""Multimodal binary-column plumbing tests (stubbed decode kernels)."""
+
+from __future__ import annotations
+
+from clearcare_data_pipeline_spark.operators.multimodal import (
+    image_features,
+    make_fake_image_bytes,
+    make_fake_media,
+    resize_images,
+)
+
+
+def test_image_features_roundtrip(spark):
+    media = make_fake_media(spark, 20)
+    feats = image_features(media).collect()
+    assert len(feats) == 20
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["width"] == 64 and by_id[0]["height"] == 48
+    assert by_id[1]["width"] == 80 and by_id[1]["height"] == 64
+    assert all(r["format"] == "fimg" for r in feats)
+    assert all(r["n_bytes"] == 72 for r in feats)
+    # checksum is deterministic
+    expected = sum(make_fake_image_bytes(64, 48, 0)) % (1 << 31)
+    assert by_id[0]["checksum"] == expected
+
+
+def test_image_features_handles_garbage(spark):
+    rows = [(999, "image", b"not an image", "mem://x"), (1000, "image", None, "mem://y")]
+    media = spark.createDataFrame(rows, make_fake_media(spark, 1).schema)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert feats[999]["format"] == "unknown" and feats[999]["width"] is None
+    assert feats[1000]["n_bytes"] == 0
+
+
+def test_resize_stub(spark):
+    media = make_fake_media(spark, 5)
+    resized = resize_images(media, 32, 32).collect()
+    assert len(resized) == 5
+    assert all(r["width"] == 32 and r["height"] == 32 for r in resized)
+    # resized payload still parses through the feature extractor
+    feats = image_features(
+        spark.createDataFrame(
+            [(r["media_id"], "image", r["content"], "mem://r") for r in resized],
+            make_fake_media(spark, 1).schema,
+        )
+    ).collect()
+    assert all(f["width"] == 32 for f in feats)
+
+
+def test_non_image_rows_excluded(spark):
+    rows = [(1, "audio", b"aaaa", "mem://a"), (2, "image", make_fake_image_bytes(16, 16, 2), "m")]
+    media = spark.createDataFrame(rows, make_fake_media(spark, 1).schema)
+    assert image_features(media).count() == 1

@@ -1,0 +1,76 @@
+"""Structured Streaming mode tests (availableNow over file sources)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from clearcare_data_pipeline_spark.schema import CANONICAL_COLUMNS
+from clearcare_data_pipeline_spark.streaming.pipeline import (
+    stream_clean,
+    stream_event_window_counts,
+)
+
+_HEADER = ",".join(CANONICAL_COLUMNS)
+
+
+def _charges_csv_line(code="12345", code_type="CPT", price="100", minp="80", maxp="150"):
+    row = {c: "" for c in CANONICAL_COLUMNS}
+    row.update(
+        {
+            "hospital_name": "General",
+            "zip_code": "10001",
+            "code": code,
+            "code_type": code_type,
+            "description": "visit",
+            "payer_name": "Aetna",
+            "plan_name": "PPO",
+            "negotiated_methodology": "fee schedule",
+            "negotiated_price": price,
+            "min_price": minp,
+            "max_price": maxp,
+            "gross_charge": "200",
+        }
+    )
+    return ",".join(row[c] for c in CANONICAL_COLUMNS)
+
+
+def test_stream_clean_splits_clean_and_quarantine(spark, tmp_path):
+    inp, out, chk = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "chk")
+    (tmp_path / "in").mkdir()
+    # file 1: one clean row; file 2: one rule-6 violation (no max)
+    (tmp_path / "in" / "a.csv").write_text(_HEADER + "\n" + _charges_csv_line() + "\n")
+    (tmp_path / "in" / "b.csv").write_text(
+        _HEADER + "\n" + _charges_csv_line(code="99214", maxp="") + "\n"
+    )
+    q = stream_clean(spark, inp, out, chk)
+    q.awaitTermination(120)
+    clean = spark.read.parquet(f"{out}/clean")
+    quarantine = spark.read.parquet(f"{out}/quarantine")
+    assert clean.count() == 1
+    assert quarantine.count() == 1
+    assert quarantine.first()["rules_violated"] == "rule_6"
+
+    # incremental arrival: a third file only, checkpoint resumes
+    (tmp_path / "in" / "c.csv").write_text(_HEADER + "\n" + _charges_csv_line(code="99215") + "\n")
+    q2 = stream_clean(spark, inp, out, chk)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/clean").count() == 2
+
+
+def test_stream_event_window_counts(spark, tmp_path):
+    inp, out, chk = str(tmp_path / "ein"), str(tmp_path / "eout"), str(tmp_path / "echk")
+    (tmp_path / "ein").mkdir()
+    events = [
+        {"ts": "2024-01-01 00:01:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 00:04:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 00:12:00", "event_type": "view", "value": 3.0},
+        {"ts": "2024-01-01 02:00:00", "event_type": "click", "value": 4.0},
+    ]
+    (tmp_path / "ein" / "e.json").write_text("\n".join(json.dumps(e) for e in events))
+    q = stream_event_window_counts(spark, inp, out, chk, window="10 minutes")
+    q.awaitTermination(120)
+    rows = {(str(r["window_start"]), r["event_type"]): r["n"] for r in spark.read.parquet(out).collect()}
+    # watermark closed the first windows once the 02:00 event advanced time
+    assert rows[("2024-01-01 00:00:00", "click")] == 2
+    assert rows[("2024-01-01 00:10:00", "view")] == 1
