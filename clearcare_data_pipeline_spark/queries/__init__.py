@@ -11,18 +11,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from clearcare_data_pipeline_spark.queries import charges, eventsops, relational, similarity, textops
+    from clearcare_data_pipeline_spark.queries import (
+        advanced,
+        charges,
+        eventsops,
+        relational,
+        similarity,
+        textops,
+    )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, charges, textops, similarity, eventsops):
+    for mod in (relational, advanced, charges, textops, similarity, eventsops):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from clearcare_data_pipeline_spark.queries import charges, eventsops, relational, similarity, textops
+    from clearcare_data_pipeline_spark.queries import (
+        advanced,
+        charges,
+        eventsops,
+        relational,
+        similarity,
+        textops,
+    )
 
     out: dict[str, str] = {}
-    for mod in (relational, charges, textops, similarity, eventsops):
+    for mod in (relational, advanced, charges, textops, similarity, eventsops):
         out.update(mod.ORACLES)
     return out

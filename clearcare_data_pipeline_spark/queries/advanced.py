@@ -1,0 +1,237 @@
+"""Advanced relational coverage: as-of join, cube, ranking windows,
+date/string scalar functions, min-per-group, scalar-subquery filters.
+
+These extend the operator inventory beyond the reference's surface
+(SURVEY.md §2.8 notes the reference has no window/as-of machinery) —
+they are table stakes for an analytics engine and all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+# unaliased: call sites attach their own alias
+_EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
+def _dec(col, prec: int = 18, scale: int = 4):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# --- as-of join: latest order at or before each event -------------------
+
+
+def q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the most recent order of the matching customer
+    placed at or before the event time (keyed join + top-1 window —
+    the distributed as-of pattern; at scale both sides pre-partition
+    on the key so the join is co-located)."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )
+
+
+_ASOF_ORACLE = f"""
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+    row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM {_EV} e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+# --- cube ---------------------------------------------------------------
+
+
+def q_cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"), 15)).cast("double").alias("total"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- ranking windows ------------------------------------------------------
+
+
+def q_supplier_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    order = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(order).alias("rnk"),
+        F.dense_rank().over(order).alias("drnk"),
+        F.ntile(4).over(order).alias("quartile"),
+        F.lead("s_suppkey").over(order).alias("next_supp"),
+    )
+
+
+_RANKS_ORACLE = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+  rank()       OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  ntile(4)     OVER w AS quartile,
+  lead(s_suppkey) OVER w AS next_supp
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+"""
+
+
+# --- date functions ---------------------------------------------------------
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
+            "o_totalprice",
+        )
+        .groupBy("y", "q", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("days_since").alias("min_days_since"),
+            F.sum(_dec(F.col("o_totalprice"), 15)).cast("double").alias("total"),
+        )
+    )
+
+
+_MONTHS_ORACLE = """
+SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m,
+  count(*) AS n,
+  CAST(min(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS INT) AS min_days_since,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+# --- string functions --------------------------------------------------------
+
+
+def q_customer_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_extract("c_name", r"(\d+)", 1).try_cast("long").alias("digits"),
+        F.split("c_name", "#").getItem(1).alias("after_hash"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_segment"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+_STRINGS_ORACLE = """
+SELECT c_custkey,
+  upper(c_name) AS upper_name,
+  substring(c_name, 1, 8) AS prefix8,
+  CAST(length(c_name) AS INT) AS name_len,
+  lpad(CAST(c_custkey AS STRING), 10, '0') AS padded_key,
+  TRY_CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT) AS digits,
+  string_split(c_name, '#')[2] AS after_hash,
+  reverse(c_mktsegment) AS rev_segment,
+  concat_ws('-', c_mktsegment, CAST(c_nationkey AS STRING)) AS seg_nation
+FROM customer
+"""
+
+
+# --- min-per-group (TPC-H Q2 pattern) -----------------------------------------
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("l_extendedprice"), F.asc("l_suppkey"))
+    return (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    )
+
+
+_CHEAPEST_ORACLE = """
+SELECT l_partkey, l_suppkey, l_extendedprice FROM (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+    row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --- scalar-subquery filter: orders above the customer's average ---------------
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg = (
+        orders.groupBy("o_custkey")
+        .agg((F.sum(_dec(F.col("o_totalprice"), 15)).cast("double") / F.count(F.lit(1))).alias("avg_total"))
+    )
+    return (
+        orders.join(avg, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("avg_total"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.round("avg_total", 6).alias("avg_total"))
+    )
+
+
+_ABOVE_AVG_ORACLE = """
+WITH avg_t AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) / count(*) AS avg_total
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, round(a.avg_total, 6) AS avg_total
+FROM orders o JOIN avg_t a USING (o_custkey)
+WHERE o.o_totalprice > a.avg_total
+"""
+
+
+QUERIES = {
+    "asof_event_order": q_asof_event_order,
+    "cube_order_status_priority": q_cube_order_status_priority,
+    "supplier_ranks": q_supplier_ranks,
+    "orders_by_month": q_orders_by_month,
+    "customer_string_features": q_customer_string_features,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
+}
+
+ORACLES = {
+    "asof_event_order": _ASOF_ORACLE,
+    "cube_order_status_priority": _CUBE_ORACLE,
+    "supplier_ranks": _RANKS_ORACLE,
+    "orders_by_month": _MONTHS_ORACLE,
+    "customer_string_features": _STRINGS_ORACLE,
+    "cheapest_supplier_per_part": _CHEAPEST_ORACLE,
+    "orders_above_customer_avg": _ABOVE_AVG_ORACLE,
+}
