@@ -26,6 +26,10 @@ HEADLINE = [
     "charges_cleaned",
     "charges_rule_counts",
     "charges_score",
+    "asof_event_order",
+    "events_sessionization",
+    "doc_minhash_lsh",
+    "emb_cosine_topk",
 ]
 
 

@@ -29,15 +29,31 @@ _CANON = ", ".join(CANONICAL_COLUMNS)
 _LINEITEM_REL = "lineitem"
 
 
-def _cleaned(spark: SparkSession, sf_dir: str):
-    """Cleaned canonical table, cached: the clean->consume boundary.
+_CLEANED_CKPT: dict[str, str] = {}
+_CLEANED_ROOT: str | None = None
 
-    Seven queries consume this exact plan (cleaned rows, histograms,
-    presence, tagging, score, quarantine); plan-equality caching means
-    the cleaning chain runs once per session, and within a single
-    query its exchanges re-read the cache instead of re-deriving.
+
+def _cleaned(spark: SparkSession, sf_dir: str):
+    """Cleaned canonical table, checkpointed to parquet once per
+    session: the clean->consume boundary.
+
+    Seven queries consume this table (cleaned rows, histograms,
+    presence, tagging, score, quarantine); materializing it once and
+    scanning parquet gives every consumer a splittable parallel scan
+    with pushdown, and the cleaning chain runs exactly once. This
+    mirrors etl.py's cleaned-parquet sink.
     """
-    return clean_charges(charges_from_lineitem(spark, sf_dir)).cache()
+    global _CLEANED_ROOT
+    import os
+    import tempfile
+
+    if sf_dir not in _CLEANED_CKPT:
+        if _CLEANED_ROOT is None:
+            _CLEANED_ROOT = tempfile.mkdtemp(prefix="clearcare_cleaned_ckpt_")
+        path = os.path.join(_CLEANED_ROOT, sf_dir.strip("/").replace("/", "_"))
+        clean_charges(charges_from_lineitem(spark, sf_dir)).write.mode("overwrite").parquet(path)
+        _CLEANED_CKPT[sf_dir] = path
+    return spark.read.parquet(_CLEANED_CKPT[sf_dir])
 
 
 # --- q: raw derivation (pins the shared input itself) -----------------

@@ -18,6 +18,9 @@ rows (every k % 97 == 0 row is emitted twice) for the dedup operators.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from clearcare_data_pipeline_spark.sources.tables import load_table
@@ -172,20 +175,34 @@ def charges_sql(lineitem_relation: str = "lineitem") -> str:
     return _CHARGES_SQL_TEMPLATE.format(lineitem=lineitem_relation)
 
 
+# per-process memo of materialized derivations: sf_dir -> parquet path
+_CHECKPOINTS: dict[str, str] = {}
+_CHECKPOINT_ROOT: str | None = None
+
+
 def charges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the shared derivation (all-string canonical table).
 
-    The result is ``cache()``d: this is the extract->clean stage
-    boundary, which the reference materializes as the extracted CSV
-    (SURVEY.md §3). A materialization point here (a) lets every
-    downstream query/stage share one derivation pass (Spark caches by
-    logical plan, so all charges queries in a session reuse it), and
-    (b) stops the optimizer substituting the 22 derivation CASE trees
-    into downstream validation predicates and pushing the resulting
-    45 KB filter below the scan's repartition (observed: it serialized
-    the whole pipeline onto the scan's single task). At production
-    scale the same boundary would be a parquet/Delta checkpoint of the
-    extracted table.
+    The derivation is materialized once per session as a parquet
+    checkpoint and all consumers scan that file. This is the
+    extract->clean stage boundary, which the reference materializes as
+    the extracted CSV (SURVEY.md §3). The checkpoint (a) lets every
+    downstream query/stage share one derivation pass, (b) gives the
+    cleaning chain a splittable, parallel scan with real predicate
+    pushdown and column pruning, and (c) stops the optimizer
+    substituting the 22 derivation CASE trees into downstream
+    validation predicates (observed: a 45 KB substituted filter pushed
+    below the scan's repartition, serializing the pipeline onto one
+    task). In the production pipeline this boundary is etl.py's
+    extracted-parquet checkpoint.
     """
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(charges_sql("lineitem")).cache()
+    global _CHECKPOINT_ROOT
+    if sf_dir not in _CHECKPOINTS:
+        load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        derived = spark.sql(charges_sql("lineitem"))
+        if _CHECKPOINT_ROOT is None:
+            _CHECKPOINT_ROOT = tempfile.mkdtemp(prefix="clearcare_extract_ckpt_")
+        path = os.path.join(_CHECKPOINT_ROOT, sf_dir.strip("/").replace("/", "_"))
+        derived.write.mode("overwrite").parquet(path)
+        _CHECKPOINTS[sf_dir] = path
+    return spark.read.parquet(_CHECKPOINTS[sf_dir])
