@@ -111,3 +111,76 @@ def lsh_near_dup_pairs(df: DataFrame, min_cosine: float = 0.99, id_col: str = "v
         .where(F.col("cos_sim") >= min_cosine)
         .select("a", "b", "cos_sim")
     )
+
+
+# --- IVF-style coarse quantization ------------------------------------
+
+NUM_CENTROIDS = 16
+
+
+def _centroid(c: int) -> list[float]:
+    """Deterministic integer-valued coarse centroids (scaled)."""
+    return [float(((i * 13 + c * 29) % 17) - 8) / 8.0 for i in range(PLANE_DIM)]
+
+
+def ivf_cell_expr(dvec: Column) -> Column:
+    """Nearest-centroid cell id (argmin L2 distance; first-min wins —
+    the IVF coarse quantizer). Distances are computed with the same
+    sequential fold as dot products, so cell assignment is
+    engine-portable."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    dvec,
+                    F.array(*[F.lit(w) for w in _centroid(c)]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(NUM_CENTROIDS)
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_assignments(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    d = with_norm(df, "embedding")
+    return d.select(F.col(id_col), ivf_cell_expr(F.col("dvec")).alias("cell"), "dvec", "norm")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's own IVF cell
+    (nprobe=1). The scale path: the candidate join is keyed on cell,
+    shuffling only same-cell pairs instead of the full cross product."""
+    from pyspark.sql import Window
+
+    cand = ivf_assignments(vectors, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "dvec", "norm"
+    )
+    q = ivf_assignments(queries, id_col).select(
+        F.col(id_col).alias("query_id"),
+        "cell",
+        F.col("dvec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot_expr(F.col("dvec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "cell", "neighbor_id", "cos_sim", "rn")
+    )

@@ -18,10 +18,12 @@ def all_queries() -> dict[str, QueryFn]:
         relational,
         similarity,
         textops,
+        textops2,
+        tpch_extra,
     )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, advanced, charges, textops, similarity, eventsops):
+    for mod in (relational, tpch_extra, advanced, charges, textops, textops2, similarity, eventsops):
         out.update(mod.QUERIES)
     return out
 
@@ -34,9 +36,11 @@ def all_oracles() -> dict[str, str]:
         relational,
         similarity,
         textops,
+        textops2,
+        tpch_extra,
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, advanced, charges, textops, similarity, eventsops):
+    for mod in (relational, tpch_extra, advanced, charges, textops, textops2, similarity, eventsops):
         out.update(mod.ORACLES)
     return out

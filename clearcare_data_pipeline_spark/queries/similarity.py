@@ -173,3 +173,50 @@ ORACLES = {
     "emb_label_centroids": _CENTROIDS_ORACLE,
     "emb_norm_stats": _NORM_STATS_ORACLE,
 }
+
+
+# --- IVF-cell ANN top-k -------------------------------------------------
+
+from clearcare_data_pipeline_spark.operators.similarity import NUM_CENTROIDS, _centroid, ivf_topk
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _emb(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % _QUERY_MOD == 0)
+    return ivf_topk(vecs, queries, k=_TOPK)
+
+
+def _centroid_dist_sql(dv: str, c: int) -> str:
+    lit = "[" + ", ".join(repr(w) for w in _centroid(c)) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, len({dv}) + 1), "
+        f"i -> ({dv}[i] - {lit}[i]) * ({dv}[i] - {lit}[i])), (x, y) -> x + y)"
+    )
+
+
+def _cell_sql(dv: str) -> str:
+    dists = "[" + ", ".join(_centroid_dist_sql(dv, c) for c in range(NUM_CENTROIDS)) + "]"
+    return f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
+
+
+_IVF_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm, {_cell_sql('dv')} AS cell
+  FROM (SELECT vec_id, {_DV} AS dv FROM embeddings)
+),
+q AS (SELECT * FROM n WHERE vec_id % {_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+    round({_dot('c.dv', 'q.dv')} / (c.nrm * q.nrm), 6) AS cos_sim
+  FROM n c JOIN q USING (cell) WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= {_TOPK}
+"""
+
+QUERIES["emb_ivf_topk"] = q_emb_ivf_topk
+ORACLES["emb_ivf_topk"] = _IVF_ORACLE

@@ -1,0 +1,147 @@
+"""Second text-operator family: TF-IDF, near-dup clustering, exact
+percentiles.
+
+The clustering oracle uses a recursive CTE for transitive closure —
+DuckDB's declarative equivalent of the engine's iterative min-label
+propagation (operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.components import connected_components
+from clearcare_data_pipeline_spark.operators.dedup import (
+    doc_shingles,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from clearcare_data_pipeline_spark.operators.textstats import words_expr
+from clearcare_data_pipeline_spark.queries.textops import _CORPUS_NEAR_SQL, _MINHASH_SQL, corpus_near_dups
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+_TOP_TERMS = 3
+
+
+# --- TF-IDF -------------------------------------------------------------
+
+
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words_expr(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_sizes = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tokens"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # driver-side scalar (metadata-scale)
+    scored = (
+        tf.join(doc_sizes, "doc_id")
+        .join(F.broadcast(df_counts), "term")
+        .withColumn(
+            "tfidf",
+            F.round((F.col("cnt") / F.col("n_tokens")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_TERMS)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> length(t) > 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+sizes AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round((tf.cnt / sizes.n_tokens) * ln(n.n_docs / dfc.df), 6) AS tfidf
+  FROM tf JOIN sizes USING (doc_id) JOIN dfc USING (term), n
+)
+SELECT doc_id, term, tfidf, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= {_TOP_TERMS}
+"""
+
+
+# --- near-dup clustering (LSH pairs -> connected components) -------------
+
+
+def q_doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_near_dups(spark, sf_dir)
+    sh = doc_shingles(corpus, n=5)
+    pairs = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(sh, 12), 3))
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    comps = connected_components(nodes, pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.max("id").alias("max_id"))
+        .where(F.col("cluster_size") > 1)
+    )
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR_SQL}),
+{_MINHASH_SQL},
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1 JOIN bands b2 USING (band, band_key)
+  WHERE b1.doc_id < b2.doc_id
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comps AS (SELECT src AS id, min(node) AS component FROM reach GROUP BY src)
+SELECT component, count(*) AS cluster_size, max(id) AS max_id
+FROM comps GROUP BY component HAVING count(*) > 1
+"""
+
+
+# --- exact percentiles ----------------------------------------------------
+
+
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("price_p25"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "doc_near_dup_clusters": q_doc_near_dup_clusters,
+    "quantity_percentiles": q_quantity_percentiles,
+}
+
+ORACLES = {
+    "doc_tfidf_top_terms": _TFIDF_ORACLE,
+    "doc_near_dup_clusters": _CLUSTERS_ORACLE,
+    "quantity_percentiles": _PCT_ORACLE,
+}

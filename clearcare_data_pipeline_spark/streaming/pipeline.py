@@ -91,3 +91,33 @@ def stream_event_window_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): state for an id is kept only
+    until the watermark passes it — the bounded-state streaming analog
+    of batch dropDuplicates."""
+    events = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .json(input_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    writer = (
+        events.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -74,3 +74,22 @@ def test_stream_event_window_counts(spark, tmp_path):
     # watermark closed the first windows once the 02:00 event advanced time
     assert rows[("2024-01-01 00:00:00", "click")] == 2
     assert rows[("2024-01-01 00:10:00", "view")] == 1
+
+
+def test_stream_dedup_events(spark, tmp_path):
+    inp, out, chk = str(tmp_path / "din"), str(tmp_path / "dout"), str(tmp_path / "dchk")
+    (tmp_path / "din").mkdir()
+    import json as j
+    from clearcare_data_pipeline_spark.streaming.pipeline import stream_dedup_events
+
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:01:00", "event_type": "click", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01 00:01:00", "event_type": "click", "value": 1.0},  # dup
+        {"event_id": 2, "ts": "2024-01-01 00:02:00", "event_type": "view", "value": 2.0},
+    ]
+    (tmp_path / "din" / "a.json").write_text("\n".join(j.dumps(r) for r in rows))
+    q = stream_dedup_events(spark, inp, out, chk)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r["event_id"] for r in got.collect()} == {1, 2}
