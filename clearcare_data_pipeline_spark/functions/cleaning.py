@@ -81,19 +81,26 @@ def clean_price_expr(col: Column, *, exempt: bool = False) -> Column:
     return num if exempt else null_invalid_price_expr(num)
 
 
+def wstrim(col: Column) -> Column:
+    """Whitespace strip matching pandas ``str.strip()`` — Spark's
+    ``trim`` removes only spaces, but the reference strips the full
+    \\s class (caught by a hypothesis property test on '\\r')."""
+    return F.btrim(col, F.lit(WHITESPACE_CHARS))
+
+
 def scrub_invalid_token_expr(col: Column) -> Column:
     """R1: full-match invalid tokens (case-insensitive) -> ''.
 
-    Set membership over lower(trim(x)) — exact reference semantics
+    Set membership over lower(strip(x)) — exact reference semantics
     (``^(n/?a|not applicable)$``) without a regex in the 15-column
     hot path.
     """
-    return F.when(F.lower(F.trim(col)).isin(*INVALID_TOKENS), F.lit("")).otherwise(col)
+    return F.when(F.lower(wstrim(col)).isin(*INVALID_TOKENS), F.lit("")).otherwise(col)
 
 
 def normalize_text_expr(col: Column) -> Column:
-    """F2: trim + lower; the reference's literal "nan" artifact -> ''."""
-    lowered = F.lower(F.trim(col))
+    """F2: strip + lower; the reference's literal "nan" artifact -> ''."""
+    lowered = F.lower(wstrim(col))
     return F.when(lowered == "nan", F.lit("")).otherwise(lowered)
 
 

@@ -41,13 +41,21 @@ def price_clean_sql(col: str, *, exempt: bool = False) -> str:
     )
 
 
+# whitespace-set trim mirroring functions/cleaning.wstrim
+_WS_TRIM = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
+
+def _wstrim_sql(col: str) -> str:
+    return f"trim({col}, {_WS_TRIM})"
+
+
 def scrub_sql(col: str) -> str:
     toks = ", ".join(f"'{t}'" for t in INVALID_TOKENS)
-    return f"CASE WHEN lower(trim({col})) IN ({toks}) THEN '' ELSE {col} END"
+    return f"CASE WHEN lower({_wstrim_sql(col)}) IN ({toks}) THEN '' ELSE {col} END"
 
 
 def text_norm_sql(col: str) -> str:
-    return f"CASE WHEN lower(trim({col})) = 'nan' THEN '' ELSE lower(trim({col})) END"
+    return f"CASE WHEN lower({_wstrim_sql(col)}) = 'nan' THEN '' ELSE lower({_wstrim_sql(col)}) END"
 
 
 # '|' -> ',' and every \s-class char deleted (chr codes 9,10,11,12,13,32)
