@@ -79,7 +79,7 @@ def cosine_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rn")
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -182,5 +182,5 @@ def ivf_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .select("query_id", "cell", "neighbor_id", "cos_sim", "rn")
+        .select("query_id", "cell", "neighbor_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
     )

@@ -83,9 +83,9 @@ def q_supplier_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         "s_suppkey",
         "s_acctbal",
-        F.rank().over(order).alias("rnk"),
-        F.dense_rank().over(order).alias("drnk"),
-        F.ntile(4).over(order).alias("quartile"),
+        F.rank().over(order).cast("long").alias("rnk"),
+        F.dense_rank().over(order).cast("long").alias("drnk"),
+        F.ntile(4).over(order).cast("long").alias("quartile"),
         F.lead("s_suppkey").over(order).alias("next_supp"),
     )
 
@@ -108,9 +108,9 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select(
-            F.year("o_orderdate").alias("y"),
-            F.quarter("o_orderdate").alias("q"),
-            F.month("o_orderdate").alias("m"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.month("o_orderdate").cast("long").alias("m"),
             F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
             "o_totalprice",
         )

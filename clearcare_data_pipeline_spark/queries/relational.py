@@ -178,7 +178,7 @@ def q_topk_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("c_mktsegment", "rn", "c_custkey", "c_name", "c_acctbal")
+        .select("c_mktsegment", F.col("rn").cast("long").alias("rn"), "c_custkey", "c_name", "c_acctbal")
     )
 
 
@@ -372,7 +372,7 @@ def q_fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("qname", "n_name"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("qkey", "qname", F.col("n_name").alias("matched"), "dist")
+        .select("qkey", "qname", F.col("n_name").alias("matched"), F.col("dist").cast("long").alias("dist"))
     )
 
 

@@ -126,6 +126,7 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_norm(_emb(spark, sf_dir))
     return (
         d.select("label", F.posexplode("dvec").alias("pos", "v"))
+        .withColumn("pos", F.col("pos").cast("long"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n"))
     )

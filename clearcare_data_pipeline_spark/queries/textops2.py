@@ -49,7 +49,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _TOP_TERMS)
-        .select("doc_id", "term", "tfidf", "rn")
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
     )
 
 

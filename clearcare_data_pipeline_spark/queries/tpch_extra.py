@@ -70,7 +70,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
         .where(F.col("cust_nation") < F.col("supp_nation"))
-        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.sum(_rev_col()).cast("double").alias("volume"), F.count(F.lit(1)).alias("n"))
     )
 
