@@ -17,13 +17,14 @@ def all_queries() -> dict[str, QueryFn]:
         eventsops,
         relational,
         similarity,
+        stats,
         textops,
         textops2,
         tpch_extra,
     )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, tpch_extra, advanced, charges, textops, textops2, similarity, eventsops):
+    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops):
         out.update(mod.QUERIES)
     return out
 
@@ -35,12 +36,13 @@ def all_oracles() -> dict[str, str]:
         eventsops,
         relational,
         similarity,
+        stats,
         textops,
         textops2,
         tpch_extra,
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, tpch_extra, advanced, charges, textops, textops2, similarity, eventsops):
+    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,154 @@
+"""Statistical aggregates, RANGE window frames, distinct counting.
+
+Variance/stddev/correlation are computed from exact DECIMAL moment
+sums (sum x, sum x², sum xy) cast to DOUBLE, so the results are
+deterministic across engines — the builtin streaming variance would be
+partition-order-dependent. ``approx_distinct_parts`` is the one
+intentionally oracle-less query (HyperLogLog sketches are
+engine-specific); the driver records it as rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+
+def _dec(col, prec: int = 15, scale: int = 4):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# --- moment-based stats ---------------------------------------------------
+
+
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # width 19 forces 128-bit physical decimals in both engines, so the
+    # squared-moment products cannot overflow
+    qd = _dec(F.col("l_quantity"), 19)
+    pd_ = _dec(F.col("l_extendedprice"), 19)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).cast("double").alias("sq"),
+        F.sum(qd * qd).cast("double").alias("sqq"),
+        F.sum(pd_).cast("double").alias("sp"),
+        F.sum(pd_ * pd_).cast("double").alias("spp"),
+        F.sum(qd * pd_).cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    var_q = (F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)
+    var_p = (F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1)
+    cov = (F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sq") / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var_q), 6).alias("std_qty"),
+        F.round(F.sqrt(var_p), 6).alias("std_price"),
+        F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)), 6).alias("corr_qty_price"),
+    )
+
+
+_STATS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sq,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sqq,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sp,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS spp,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round(sq / n, 6) AS mean_qty,
+  round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS std_qty,
+  round(sqrt((spp - sp * sp / n) / (n - 1)), 6) AS std_price,
+  round(((sqp - sq * sp / n) / (n - 1))
+        / (sqrt((sqq - sq * sq / n) / (n - 1)) * sqrt((spp - sp * sp / n) / (n - 1))), 6) AS corr_qty_price
+FROM m
+"""
+
+
+# --- RANGE window frame: trailing 30-day customer spend --------------------
+
+
+def q_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        orders.withColumn("day", day)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("spend_30d"),
+            F.count(F.lit(1)).over(w).alias("orders_30d"),
+        )
+    )
+
+
+_TRAILING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) OVER w AS DOUBLE) AS spend_30d,
+  count(*) OVER w AS orders_30d
+FROM (SELECT *, datediff('day', TIMESTAMP '1990-01-01', o_orderdate) AS day FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- exact distinct counts --------------------------------------------------
+
+
+def q_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_supps,
+  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- approximate distinct (engine-specific sketch; rows-only check) ---------
+
+
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — intentionally no SQL oracle
+    (sketches differ across engines); the driver's rows-only check
+    applies. The exact twin above is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+QUERIES = {
+    "lineitem_stats": q_lineitem_stats,
+    "trailing_30d_spend": q_trailing_30d_spend,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "approx_distinct_parts": q_approx_distinct_parts,
+}
+
+ORACLES = {
+    "lineitem_stats": _STATS_ORACLE,
+    "trailing_30d_spend": _TRAILING_ORACLE,
+    "distinct_parts_per_flag": _DISTINCT_ORACLE,
+    # approx_distinct_parts: rows-only by design
+}
