@@ -95,3 +95,26 @@ def sample_mrf(
         raw = row[arr]
         out[arr] = json.loads(raw) if raw is not None else []
     return out
+
+
+def batch_explore(
+    spark: SparkSession,
+    registry,
+    raw_path_for,
+    *,
+    healthcare_system: str | None = None,
+) -> dict[str, str | dict]:
+    """C2 batch driver (batch_json_explorer.py:30-51): run structure
+    discovery over every campus of a healthcare system, logging
+    failures and continuing. ``raw_path_for(campus_row) -> path``."""
+    rows = registry.collect()
+    if healthcare_system is not None:
+        rows = [r for r in rows if (r["healthcare_system"] or "") == healthcare_system]
+    results: dict[str, str | dict] = {}
+    for row in rows:
+        campus = row["campus_id"]
+        try:
+            results[campus] = schema_tree(spark, raw_path_for(row))
+        except Exception as e:  # log-and-continue, per the reference
+            results[campus] = {"error": f"{type(e).__name__}: {e}"}
+    return results

@@ -90,3 +90,60 @@ def test_sample_mrf(spark):
     assert s["license_information"]["license_number"] == "ABC-123"
     assert len(s["standard_charge_information"]) == 2  # sliced from 3
     assert len(s["modifier_information"]) == 1  # sliced from 2
+
+
+_LEAPFROG_HTML = """
+<html><body>
+<div class="itemWrapper">
+  <a href="/h/mercy-general"><span class="hospitalName">Mercy General Hospital</span></a>
+  <div class="hospitalAddress">1 Care Way, Springfield, ST 12345</div>
+  <span class="letterGrade">A</span><span class="gradeTerm">Spring 2024</span>
+</div>
+<div class="itemWrapper">
+  <a href="/h/st-judes"><span class="hospitalName">St. Jude's Medical Center</span></a>
+  <div class="hospitalAddress">2 Hope Blvd, Springfield, ST 54321-9876</div>
+  <span class="letterGrade">B</span><span class="gradeTerm">Spring 2024</span>
+</div>
+</body></html>
+"""
+
+
+def test_leapfrog_parse_and_keys(spark, tmp_path):
+    from clearcare_data_pipeline_spark.sources.leapfrog import (
+        leapfrog_registry_rows,
+        parse_leapfrog_html,
+        scrape_leapfrog,
+    )
+
+    cards = parse_leapfrog_html(_LEAPFROG_HTML)
+    assert [c["hospital_name"] for c in cards] == ["Mercy General Hospital", "St. Jude's Medical Center"]
+    assert cards[0]["grade"] == "A" and cards[0]["url"] == "/h/mercy-general"
+
+    cache = str(tmp_path / "leapfrog.parquet")
+    df = scrape_leapfrog(
+        spark, cache, cities=[("Springfield", "ST")],
+        fetcher=lambda city, state: _LEAPFROG_HTML, sleep_between_requests=0,
+    )
+    reg = {r["campus_id"]: r for r in leapfrog_registry_rows(df).collect()}
+    assert reg["mercy_general"]["zip_code"] == "12345"
+    assert reg["st_judes"]["zip_code"] == "54321"
+    assert reg["mercy_general"]["healthcare_system"] == "Mercy"
+    assert reg["st_judes"]["leapfrog_grade"] == "B"
+    # cache fallback path (no fetcher)
+    assert scrape_leapfrog(spark, cache).count() == 2
+
+
+def test_batch_explore_logs_failures(spark):
+    from pyspark.sql import Row
+
+    from clearcare_data_pipeline_spark.sources.explorer import batch_explore
+
+    reg = spark.createDataFrame([
+        Row(campus_id="ok", healthcare_system="Sys", path=f"{FIX}/mrf.json"),
+        Row(campus_id="broken", healthcare_system="Sys", path="/nonexistent.json"),
+        Row(campus_id="other", healthcare_system="Other", path=f"{FIX}/mrf.json"),
+    ])
+    out = batch_explore(spark, reg, lambda r: r["path"], healthcare_system="Sys")
+    assert set(out) == {"ok", "broken"}
+    assert "hospital_name" in out["ok"]
+    assert isinstance(out["broken"], dict) and "error" in out["broken"]
