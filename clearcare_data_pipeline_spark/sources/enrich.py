@@ -14,8 +14,6 @@
 
 from __future__ import annotations
 
-from difflib import SequenceMatcher
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -36,16 +34,21 @@ CMS_ENRICHMENT_COLS = {
 FUZZY_CUTOFF = 0.9
 
 
-@pandas_udf(DoubleType())
-def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+def make_difflib_ratio_udf():
     """Exact ``difflib.SequenceMatcher.ratio`` (reference J3 parity);
-    Arrow-batched so the Python cost is per-candidate-pair, amortized."""
-    return pd.Series(
-        [
-            SequenceMatcher(None, x or "", y or "").ratio()
-            for x, y in zip(a.tolist(), b.tolist())
-        ]
-    )
+    Arrow-batched so the Python cost is per-candidate-pair, amortized.
+    Built as a closure so cloudpickle ships the kernel by value and
+    workers need no importable copy of this package."""
+
+    @pandas_udf(DoubleType())
+    def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+        from difflib import SequenceMatcher as SM
+
+        return pd.Series(
+            [SM(None, x or "", y or "").ratio() for x, y in zip(a.tolist(), b.tolist())]
+        )
+
+    return difflib_ratio
 
 
 def fetch_cms_hospitals(
@@ -104,7 +107,7 @@ def enrich_registry(registry: DataFrame, cms: DataFrame) -> tuple[DataFrame, Dat
     cand = missed.select("campus_id").crossJoin(
         F.broadcast(cms_small.select(F.col("campus_id").alias("cms_campus_id")))
     )
-    scored = cand.withColumn("ratio", difflib_ratio(F.col("campus_id"), F.col("cms_campus_id")))
+    scored = cand.withColumn("ratio", make_difflib_ratio_udf()(F.col("campus_id"), F.col("cms_campus_id")))
     w = Window.partitionBy("campus_id").orderBy(F.desc("ratio"), F.asc("cms_campus_id"))
     best = (
         scored.withColumn("rn", F.row_number().over(w))

@@ -42,32 +42,39 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _update_user_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    batch_events = 0
-    batch_value = 0.0
-    for pdf in pdfs:
-        batch_events += len(pdf)
-        batch_value += float(pdf["value"].sum())
-    if state.exists:
-        count, total = state.get
-    else:
-        count, total = 0, 0.0
-    count += batch_events
-    total += batch_value
-    state.update((count, total))
-    yield pd.DataFrame(
-        [
-            {
-                "user_id": int(user_id),
-                "event_count": int(count),
-                "total_value": float(total),
-                "batch_events": int(batch_events),
-            }
-        ]
-    )
+def _make_update_user_state():
+    """Kernel built as a closure so cloudpickle ships it BY VALUE —
+    Python workers then need no importable copy of this package
+    (a module-level function would pickle by reference)."""
+
+    def update_user_state(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch_events = 0
+        batch_value = 0.0
+        for pdf in pdfs:
+            batch_events += len(pdf)
+            batch_value += float(pdf["value"].sum())
+        if state.exists:
+            count, total = state.get
+        else:
+            count, total = 0, 0.0
+        count += batch_events
+        total += batch_value
+        state.update((count, total))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(user_id),
+                    "event_count": int(count),
+                    "total_value": float(total),
+                    "batch_events": int(batch_events),
+                }
+            ]
+        )
+
+    return update_user_state
 
 
 def stream_user_running_totals(
@@ -82,7 +89,7 @@ def stream_user_running_totals(
         "event_id long, ts timestamp, user_id long, event_type string, value double"
     ).json(input_dir)
     updated = events.groupBy("user_id").applyInPandasWithState(
-        _update_user_state,
+        _make_update_user_state(),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
