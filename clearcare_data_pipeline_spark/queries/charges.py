@@ -255,3 +255,26 @@ def _oracles() -> dict[str, str]:
 
 
 ORACLES = _oracles()
+
+
+# --- q: code-type mapping audit (A5) ------------------------------------
+
+
+def q_charges_code_type_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: raw code type -> sorted set of normalized types it mapped to."""
+    df = clean_charges(charges_from_lineitem(spark, sf_dir), validate=False, dedup=False)
+    return (
+        df.where(F.col("code_type").isNotNull())
+        .groupBy(F.upper(F.trim(F.col("code_type_raw"))).alias("raw_code_type"))
+        .agg(F.array_join(F.sort_array(F.collect_set("code_type")), ",").alias("normalized_types"))
+    )
+
+
+QUERIES["charges_code_type_mappings"] = q_charges_code_type_mappings
+ORACLES["charges_code_type_mappings"] = (
+    f"WITH {cleaned_charges_cte(_LINEITEM_REL)} "
+    "SELECT upper(trim(code_type_raw)) AS raw_code_type, "
+    "array_to_string(list_sort(list(DISTINCT code_type)), ',') AS normalized_types "
+    "FROM flagged WHERE code_type IS NOT NULL "
+    "GROUP BY upper(trim(code_type_raw))"
+)
