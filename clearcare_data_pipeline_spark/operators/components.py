@@ -15,16 +15,26 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, *, id_col: str = "id", max_iters: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    max_iters: int = 50,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(id, component) where component = min node id reachable.
 
     ``nodes``: one column ``id``; ``edges``: columns ``a``, ``b``
-    (undirected). Converges when no label changes.
+    (undirected). Loops until no label changes; ``max_iters`` is a
+    safety bound only — hitting it without convergence raises rather
+    than silently returning wrong labels. Every ``checkpoint_every``
+    iterations the label frame is ``localCheckpoint``-ed so the logical
+    plan doesn't nest one join per iteration (lineage truncation for
+    high-diameter components).
     """
     sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-    for _ in range(max_iters):
+    for it in range(1, max_iters + 1):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
@@ -39,7 +49,10 @@ def connected_components(
                 ),
             )
         )
-        new_labels = new_labels.persist()
+        if it % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -50,5 +63,8 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iters={max_iters}; "
+        "raise max_iters (component diameter exceeds the bound)"
+    )

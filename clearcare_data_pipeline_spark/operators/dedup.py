@@ -107,19 +107,38 @@ def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
 def jaccard_pairs(
     shingled: DataFrame, min_jaccard: float = 0.8, candidates: DataFrame | None = None
 ) -> DataFrame:
-    """Exact n-gram Jaccard over doc pairs sharing >= 1 shingle
-    (optionally restricted to LSH candidates): |A∩B| / |A∪B|."""
+    """Exact n-gram Jaccard |A∩B| / |A∪B| over doc pairs.
+
+    With ``candidates`` (the scale path): intersections are computed by
+    joining each candidate (a, b) pair to the shingle postings of *a*
+    and then of *b* — two keyed joins whose volume is bounded by the
+    LSH bucket sizes. The raw shingle-share self-join never runs, so a
+    high-document-frequency shingle (a hub key) cannot make the plan
+    quadratic in its posting list.
+
+    Without ``candidates`` (exact small-scale path): the unrestricted
+    shingle-share self-join — exact but quadratic in per-shingle
+    posting lists; do not use at corpus scale.
+    """
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.select(F.col("doc_id").alias("a"), "shingle")
     b = shingled.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        inter = (
+            candidates.select("a", "b")
+            .distinct()
+            .join(a, "a")
+            .join(b, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sz_a"}), "a")
         .join(sizes.withColumnsRenamed({"doc_id": "b", "sz": "sz_b"}), "b")

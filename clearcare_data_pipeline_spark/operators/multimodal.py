@@ -81,16 +81,25 @@ def make_fake_media(spark: SparkSession, n: int = 100) -> DataFrame:
 
 
 def _decode_header(content: bytes) -> tuple[int | None, int | None, str]:
-    """STUB decode. Real codecs are not installed in this container;
-    with Pillow present this would be Image.open(BytesIO(content))."""
-    if _HAS_PIL:  # pragma: no cover
-        raise NotImplementedError(
-            "Real image decode path requires exercising Pillow; "
-            "enable and implement when the codec is available."
-        )
+    """Decode image dimensions + format.
+
+    The deterministic FIMG fake format is always recognized (so tests
+    and fixtures behave identically whether or not Pillow happens to be
+    installed). Anything else goes through Pillow when it is available;
+    without Pillow, unknown content stays (None, None, 'unknown') —
+    never an exception, so one bad blob can't kill a 100 TB scan.
+    """
     if content and content[:4] == _FAKE_MAGIC and len(content) >= 8:
         w, h = struct.unpack("<HH", content[4:8])
         return int(w), int(h), "fimg"
+    if _HAS_PIL and content:  # pragma: no cover - codec absent in this container
+        import io
+
+        try:
+            with Image.open(io.BytesIO(content)) as img:
+                return int(img.width), int(img.height), (img.format or "unknown").lower()
+        except Exception:
+            return None, None, "unknown"
     return None, None, "unknown"
 
 
@@ -128,19 +137,35 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def _resize_blob(blob: bytes, target_w: int, target_h: int) -> bytes | None:
+    """FIMG fakes are header-rewritten; real formats go through Pillow
+    (decode -> resample -> re-encode PNG) when it is available; anything
+    undecodable maps to NULL rather than raising."""
+    if blob[:4] == _FAKE_MAGIC:
+        return _FAKE_MAGIC + struct.pack("<HH", target_w, target_h) + blob[8:]
+    if _HAS_PIL and blob:  # pragma: no cover - codec absent in this container
+        import io
+
+        try:
+            with Image.open(io.BytesIO(blob)) as img:
+                buf = io.BytesIO()
+                img.resize((target_w, target_h)).save(buf, format="PNG")
+                return buf.getvalue()
+        except Exception:
+            return None
+    return None
+
+
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stub: re-emits a fake image with the target dimensions
-    (real path would decode, resample, re-encode per batch)."""
+    """Resize via Arrow-batched mapInPandas (see _resize_blob for the
+    per-format decode behavior)."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                if blob[:4] == _FAKE_MAGIC:
-                    resized = _FAKE_MAGIC + struct.pack("<HH", target_w, target_h) + blob[8:]
-                else:
-                    resized = None
+                resized = _resize_blob(blob, target_w, target_h)
                 out.append(
                     {
                         "media_id": int(media_id),

@@ -61,7 +61,14 @@ def clean_charges(
     if dedup:
         # Global dedup over the canonical columns only (helper columns
         # like code_type_raw would otherwise block duplicate matches).
-        df = df.dropDuplicates(CANONICAL_COLUMNS)
+        # Helper columns survive as the group minimum so the retained
+        # row is deterministic and engine-independent (dropDuplicates'
+        # pick is arbitrary; the DuckDB oracle mirrors this exactly).
+        helpers = [c for c in df.columns if c not in set(CANONICAL_COLUMNS)]
+        if helpers:
+            df = df.groupBy(*CANONICAL_COLUMNS).agg(*[F.min(c).alias(c) for c in helpers])
+        else:
+            df = df.distinct()
     return df
 
 

@@ -6,9 +6,16 @@ A TRUE predicate means *violation*. The tagging plan computes every
 rule exactly once in a single projection; the clean/quarantine split is
 two filters over the same tagged plan (one pass each, no Python).
 
-"Present" follows the reference's post-cleaning semantics: a price
-field (DOUBLE after F1) is present when non-NULL; a text field is
-present when non-NULL and non-blank after trimming.
+"Present" semantics — a DECLARED DIVERGENCE from the reference (like
+D1 chunk-local dedup, SURVEY.md §7): a price field (DOUBLE after F1)
+is present when non-NULL; a text field is present when non-NULL and
+non-blank after trimming. The reference instead tests ``.notna()``
+AFTER ``normalize_text_fields``'s ``astype(str)``, which makes text
+fields never-NaN — so its rules 1/5/9 can never fire on text absence
+(a latent bug masked by the cast). This engine implements the rules'
+documented *intent* (blank text = absent); the DuckDB oracle mirrors
+these same predicates, so the gate validates dialect parity of the
+intent semantics, not bug-for-bug reference parity.
 """
 
 from __future__ import annotations

@@ -159,8 +159,12 @@ def cleaned_charges_cte(lineitem_relation: str = "lineitem", *, dedup: bool = Tr
             exprs.append(f"{scrub_sql(c)} AS {c}")
     select_list = ",\n    ".join(exprs)
     canon = ", ".join(CANONICAL_COLUMNS)
+    # Dedup key = canonical columns ONLY (mirrors pipeline.clean_charges:
+    # the reference normalizes code_type in place, so its full-row dedup
+    # key is the canonical tuple); code_type_raw survives as the group
+    # minimum — the same deterministic pick the Spark side makes.
     maybe_distinct = (
-        f"SELECT DISTINCT {canon}, code_type_raw FROM filtered"
+        f"SELECT {canon}, min(code_type_raw) AS code_type_raw FROM filtered GROUP BY {canon}"
         if dedup
         else f"SELECT {canon}, code_type_raw FROM filtered"
     )

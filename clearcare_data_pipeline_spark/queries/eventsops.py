@@ -99,7 +99,7 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = f"""
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               >= INTERVAL {_GAP_MIN} MINUTE
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -107,7 +107,7 @@ WITH ordered AS (
   FROM {_EV}
 ),
 numbered AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_no
   FROM ordered
 )

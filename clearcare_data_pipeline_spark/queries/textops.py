@@ -190,20 +190,35 @@ SELECT c.doc_id, c.lang, c.source FROM corpus c JOIN keep USING (doc_id)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (J >= 0.7)."""
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.7), restricted to
+    MinHash-LSH candidates — the plan that survives hub shingles at
+    100 TB (the unrestricted shingle-share join is quadratic in a hot
+    shingle's posting list)."""
     sh = doc_shingles(corpus_near_dups(spark, sf_dir), n=_SHINGLE_N)
-    return jaccard_pairs(sh, min_jaccard=0.7)
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(
+            minhash_signatures(sh, num_hashes=_NUM_HASHES),
+            rows_per_band=_ROWS_PER_BAND,
+        )
+    )
+    return jaccard_pairs(sh, min_jaccard=0.7, candidates=cands)
 
 
 _JACCARD_ORACLE = f"""
 WITH corpus AS ({_CORPUS_NEAR_SQL}),
-{_SHINGLES_SQL},
+{_MINHASH_SQL},
+cands AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1 JOIN bands b2 USING (band, band_key)
+  WHERE b1.doc_id < b2.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
 inter AS (
-  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
-  FROM shingled s1 JOIN shingled s2 USING (shingle)
-  WHERE s1.doc_id < s2.doc_id
-  GROUP BY s1.doc_id, s2.doc_id
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cands c
+  JOIN shingled s1 ON s1.doc_id = c.a
+  JOIN shingled s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+  GROUP BY c.a, c.b
 )
 SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter

@@ -1,0 +1,36 @@
+"""connected_components: long-diameter convergence + safety bound."""
+
+import pytest
+
+from clearcare_data_pipeline_spark.operators.components import connected_components
+
+
+def _chain(spark, n):
+    """Path graph 0-1-2-...-(n-1): single component, diameter n-1."""
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    return nodes, edges
+
+
+def test_long_chain_converges(spark):
+    # Diameter 29 > default checkpoint interval; exercises the
+    # localCheckpoint lineage-truncation path several times over.
+    nodes, edges = _chain(spark, 30)
+    out = connected_components(nodes, edges).collect()
+    assert len(out) == 30
+    assert {r["component"] for r in out} == {0}
+
+
+def test_nonconvergence_raises(spark):
+    nodes, edges = _chain(spark, 12)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iters=3)
+
+
+def test_two_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5)], "a long, b long"
+    )
+    labels = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
