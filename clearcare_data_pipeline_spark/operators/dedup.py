@@ -63,14 +63,29 @@ def minhash_signatures(
 
     Minhash_s(doc) = min over shingles of md5(s || '|' || shingle);
     k independent permutations approximated by k salted hashes.
+
+    Single-pass: all k minimums are computed as k min-aggregates in ONE
+    groupBy over the (doc_id, shingle) frame — map-side partial min
+    collapses each input partition to one row per doc before the
+    shuffle, so shuffle volume is per-doc, not per-shingle, and never
+    multiplied by k (the seed-explode formulation shuffles k rows per
+    (doc, shingle) — ~k× the bytes at 100 TB). The long shape the LSH
+    bander consumes is recovered by a posexplode of k columns per doc,
+    which is negligible post-aggregation.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    salted = shingled.select("doc_id", "shingle", seeds).select(
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")).cast("binary"))
+        ).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    wide = shingled.groupBy("doc_id").agg(*aggs)
+    return wide.select(
         "doc_id",
-        "seed",
-        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")).cast("binary")).alias("h"),
+        F.posexplode(F.array(*[F.col(f"mh_{s}") for s in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
     )
-    return salted.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
