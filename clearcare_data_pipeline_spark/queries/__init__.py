@@ -15,6 +15,7 @@ def all_queries() -> dict[str, QueryFn]:
         advanced,
         charges,
         eventsops,
+        extractors,
         relational,
         similarity,
         stats,
@@ -24,7 +25,7 @@ def all_queries() -> dict[str, QueryFn]:
     )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops):
+    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
         out.update(mod.QUERIES)
     return out
 
@@ -34,6 +35,7 @@ def all_oracles() -> dict[str, str]:
         advanced,
         charges,
         eventsops,
+        extractors,
         relational,
         similarity,
         stats,
@@ -43,6 +45,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops):
+    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,645 @@
+"""End-to-end extractor queries under the driver's oracle gate.
+
+Puts the hardest reference semantics — X1 slot explode
+(tall_format_csv_extractor.pyc:97-145) and X2 wide melt +
+last-write-wins regroup (wide_format_csv_extractor.pyc:94-172) —
+under the value-hash gate instead of pytest-only coverage.
+
+Fixture strategy: a deterministic raw MRF file (tall CSV / wide CSV)
+is DERIVED from the lineitem parquet by DuckDB SQL and written once
+per (sf_dir, layout) to a temp path. The Spark side then runs the
+REAL extractor (`sources/extract_tall.py` / `extract_wide.py`) over
+that file — preamble scan, CSV body scan, melt, slot explode, type
+gate, regroup, canonical projection — while the oracle reuses the
+same derive CTE verbatim and mirrors the extraction semantics in SQL.
+Only one engine (DuckDB) ever *generates* values, so no cross-engine
+number-formatting parity is needed in the derivation; the gate then
+checks that Spark's extraction of those values matches the SQL
+mirror bit-for-bit.
+
+Last-write-wins parity note: the wide extractor's ``_row_id`` is
+``monotonically_increasing_id()`` over a single CSV file read in line
+order (partition ids and in-partition offsets are both monotone in
+file offset), so "later file row wins" is well-defined and equals the
+oracle's ``row_number() ... ORDER BY k, dup`` — the fixture is
+written in exactly that order.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clearcare_data_pipeline_spark.queries._oracle_expr import code_type_norm_sql
+from clearcare_data_pipeline_spark.schema import ALLOWED_CODE_TYPES
+
+_HOSP_TALL = "Synthetic Tall Hospital"
+_HOSP_WIDE = "Synthetic Wide Hospital"
+_ZIP = "73301"
+_UPDATED = "2024-07-01"
+
+_ALLOWED = ", ".join(f"'{t}'" for t in ALLOWED_CODE_TYPES)
+
+# ----------------------------------------------------------------------
+# Derivation CTEs (DuckDB dialect; `lineitem` is a view in both the
+# fixture builder's connection and the driver's oracle runner).
+# ----------------------------------------------------------------------
+
+# Tall: one CSV row per charge x payer; 2 (code, type) slots, slot 2
+# often blank; raw types mix canonical, lowercase, mapped and unknown
+# spellings so both the F7 normalization and the R3 gate have work.
+_TALL_DERIVE = """
+base AS (
+  -- the synthetic lineitem contains duplicate (orderkey, linenumber)
+  -- pairs, so k alone is NOT unique; collapse to one row per k with a
+  -- deterministic price pick, making every derived row a pure
+  -- function of k and safe to join/order on in both engines.
+  SELECT k, max(px) AS px FROM (
+    SELECT l_orderkey * 7 + l_linenumber AS k,
+           CAST(l_extendedprice AS DECIMAL(15,2)) AS px
+    FROM lineitem WHERE l_orderkey % 4 = 0
+  ) GROUP BY k
+),
+raw_tall AS (
+  SELECT
+    k,
+    'Item ' || CAST(k AS VARCHAR) AS description,
+    lpad(CAST(k % 100000 AS VARCHAR), 5, '0') AS code1,
+    CASE k % 6 WHEN 0 THEN 'CPT' WHEN 1 THEN 'cpt' WHEN 2 THEN 'HCPCS'
+               WHEN 3 THEN 'MS-DRG' WHEN 4 THEN 'LOCAL' ELSE 'ICD-10-CM' END AS code1_type,
+    CASE WHEN k % 3 = 0 THEN CAST(10000000000 + k AS VARCHAR) ELSE '' END AS code2,
+    CASE WHEN k % 3 = 0 THEN (CASE WHEN k % 2 = 0 THEN 'NDC' ELSE 'ndc' END) ELSE '' END AS code2_type,
+    CASE WHEN k % 5 = 0
+         THEN 'Payer ' || CAST(k % 7 AS VARCHAR) || ' [P' || CAST(k % 100 AS VARCHAR) || ']'
+         ELSE 'Payer ' || CAST(k % 7 AS VARCHAR) END AS payer_raw,
+    'Plan ' || CAST(k % 4 AS VARCHAR) AS plan_name,
+    CASE WHEN k % 11 = 0 THEN ''
+         ELSE '$' || CAST(CAST(round(px * 0.8, 2) AS DECIMAL(15,2)) AS VARCHAR) END AS neg_dollar,
+    CASE WHEN k % 9 = 0 THEN CAST(k % 80 + 10 AS VARCHAR) ELSE '' END AS neg_pct,
+    CASE k % 3 WHEN 0 THEN 'fee schedule'
+               WHEN 1 THEN 'percent of total billed charges' ELSE 'other' END AS methodology,
+    CAST(px AS VARCHAR) AS gross,
+    CAST(CAST(round(px * 0.5, 2) AS DECIMAL(15,2)) AS VARCHAR) AS minp,
+    CAST(CAST(round(px * 1.5, 2) AS DECIMAL(15,2)) AS VARCHAR) AS maxp,
+    CASE WHEN k % 7 = 0
+         THEN CAST(CAST(round(px * 0.9, 2) AS DECIMAL(15,2)) AS VARCHAR) ELSE '' END AS est,
+    CASE WHEN k % 2 = 0 THEN 'inpatient' ELSE 'outpatient' END AS setting,
+    CASE WHEN k % 13 = 0 THEN 'see addendum, note ' || CAST(k % 5 AS VARCHAR) ELSE '' END AS notes,
+    CASE k % 6 WHEN 0 THEN '25' WHEN 1 THEN '25,59' WHEN 2 THEN 'TC' ELSE '' END AS modifiers,
+    CASE WHEN k % 3 = 0 THEN '1' ELSE '' END AS drug_unit,
+    CASE WHEN k % 3 = 0 THEN 'GR' ELSE '' END AS drug_type
+  FROM base
+)
+""".strip()
+
+# CSV header name per derive alias, in file column order.
+_TALL_HEADERS: list[tuple[str, str]] = [
+    ("description", "description"),
+    ("code1", "code|1"),
+    ("code1_type", "code|1|type"),
+    ("code2", "code|2"),
+    ("code2_type", "code|2|type"),
+    ("payer_raw", "payer_name"),
+    ("plan_name", "plan_name"),
+    ("neg_dollar", "standard_charge|negotiated_dollar"),
+    ("neg_pct", "standard_charge|negotiated_percentage"),
+    ("methodology", "standard_charge|methodology"),
+    ("gross", "standard_charge|gross"),
+    ("minp", "standard_charge|min"),
+    ("maxp", "standard_charge|max"),
+    ("est", "estimated_amount"),
+    ("setting", "setting"),
+    ("notes", "additional_generic_notes"),
+    ("modifiers", "modifiers"),
+    ("drug_unit", "drug_unit_of_measurement"),
+    ("drug_type", "drug_type_of_measurement"),
+]
+
+# Wide: one CSV row per charge item; payer terms live in COLUMN NAMES
+# (both accepted shapes); planted duplicate rows (same keys, later
+# file position, different values) exercise X2 last-write-wins.
+_WIDE_DERIVE = """
+base AS (
+  -- the synthetic lineitem contains duplicate (orderkey, linenumber)
+  -- pairs, so k alone is NOT unique; collapse to one row per k with a
+  -- deterministic price pick, making every derived row a pure
+  -- function of k and safe to join/order on in both engines.
+  SELECT k, max(px) AS px FROM (
+    SELECT l_orderkey * 7 + l_linenumber AS k,
+           CAST(l_extendedprice AS DECIMAL(15,2)) AS px
+    FROM lineitem WHERE l_orderkey % 4 = 1
+  ) GROUP BY k
+),
+wdup AS (
+  SELECT k, px, 0 AS dup FROM base
+  UNION ALL
+  SELECT k, CAST(round(px * 1.1, 2) AS DECIMAL(15,2)) AS px, 1 AS dup
+  FROM base WHERE k % 13 = 0
+),
+raw_wide AS (
+  SELECT
+    row_number() OVER (ORDER BY k, dup) AS rn,
+    k, dup,
+    'Widget ' || CAST(k AS VARCHAR) || CASE WHEN dup = 1 THEN ' rev2' ELSE '' END AS description,
+    lpad(CAST(k % 100000 AS VARCHAR), 5, '0') AS code1,
+    CASE k % 5 WHEN 0 THEN 'CPT' WHEN 1 THEN 'HCPCS' WHEN 2 THEN 'MSDRG'
+               WHEN 3 THEN 'EAPG' ELSE 'CDT' END AS code1_type,
+    CASE WHEN k % 2 = 0 THEN lpad(CAST(k % 1000 AS VARCHAR), 3, '0') ELSE '' END AS code2,
+    CASE WHEN k % 2 = 0 THEN 'DRG' ELSE '' END AS code2_type,
+    CASE WHEN k % 2 = 0 THEN 'inpatient' ELSE 'outpatient' END AS setting,
+    CASE k % 4 WHEN 0 THEN '25' WHEN 1 THEN 'TC' ELSE '' END AS modifiers,
+    CASE WHEN k % 6 = 0 THEN '1' ELSE '' END AS drug_unit,
+    CASE WHEN k % 6 = 0 THEN 'EA' ELSE '' END AS drug_type,
+    CAST(px AS VARCHAR) AS gross,
+    CASE WHEN k % 3 = 0
+         THEN CAST(CAST(round(px * 0.8, 2) AS DECIMAL(15,2)) AS VARCHAR) ELSE '' END AS cash,
+    CAST(CAST(round(px * 0.5, 2) AS DECIMAL(15,2)) AS VARCHAR) AS minp,
+    CAST(CAST(round(px * 1.6, 2) AS DECIMAL(15,2)) AS VARCHAR) AS maxp,
+    CASE WHEN k % 9 = 0 THEN 'bundled service' ELSE '' END AS gnotes,
+    CASE WHEN k % 2 = 0
+         THEN '$' || CAST(CAST(round(px * 0.7, 2) AS DECIMAL(15,2)) AS VARCHAR) ELSE '' END AS nd_aetna,
+    CASE WHEN k % 2 = 0 THEN 'fee schedule' ELSE '' END AS meth_aetna,
+    CASE WHEN k % 3 = 0
+         THEN CAST(CAST(round(px * 0.65, 2) AS DECIMAL(15,2)) AS VARCHAR) ELSE '' END AS nd_cigna,
+    CASE WHEN k % 3 = 0 THEN 'case rate' ELSE '' END AS meth_cigna,
+    CASE WHEN k % 12 = 0 THEN 'prior auth required' ELSE '' END AS pn_cigna,
+    CASE WHEN k % 5 = 0
+         THEN CAST(CAST(round(px * 0.75, 2) AS DECIMAL(15,2)) AS VARCHAR) ELSE '' END AS est_united,
+    CASE WHEN k % 5 = 0 THEN CAST(k % 60 + 10 AS VARCHAR) ELSE '' END AS pct_united,
+    CASE WHEN k % 10 = 0 THEN 'algorithm-' || CAST(k % 3 AS VARCHAR) ELSE '' END AS alg_united
+  FROM wdup
+)
+""".strip()
+
+_WIDE_HEADERS: list[tuple[str, str]] = [
+    ("description", "description"),
+    ("code1", "code|1"),
+    ("code1_type", "code|1|type"),
+    ("code2", "code|2"),
+    ("code2_type", "code|2|type"),
+    ("setting", "setting"),
+    ("modifiers", "modifiers"),
+    ("drug_unit", "drug_unit_of_measurement"),
+    ("drug_type", "drug_type_of_measurement"),
+    ("gross", "standard_charge|gross"),
+    ("cash", "standard_charge|discounted_cash"),
+    ("minp", "standard_charge|min"),
+    ("maxp", "standard_charge|max"),
+    ("gnotes", "additional_generic_notes"),
+    # 3-part field-first shape
+    ("nd_aetna", "negotiated_dollar|Aetna|PPO"),
+    ("meth_aetna", "methodology|Aetna|PPO"),
+    # >=4-part field-last shape
+    ("nd_cigna", "standard_charge|Cigna|HMO|negotiated_dollar"),
+    ("meth_cigna", "standard_charge|Cigna|HMO|methodology"),
+    ("pn_cigna", "standard_charge|Cigna|HMO|additional_payer_notes"),
+    ("est_united", "estimated_amount|United|Gold"),
+    ("pct_united", "negotiated_percentage|United|Gold"),
+    ("alg_united", "negotiated_algorithm|United|Gold"),
+]
+
+# JSON: one item per derived row; 1-2 code slots, one standard_charges
+# group, 0-2 payers_information entries (k % 17 == 0 items publish an
+# EMPTY payer list — exercising the extractor's explode_outer path).
+# All leaf values are JSON strings, so Spark-side cast-to-string is the
+# identity and no cross-engine number formatting is involved.
+_JSON_DERIVE = """
+base AS (
+  -- the synthetic lineitem contains duplicate (orderkey, linenumber)
+  -- pairs, so k alone is NOT unique; collapse to one row per k with a
+  -- deterministic price pick, making every derived row a pure
+  -- function of k and safe to join/order on in both engines.
+  SELECT k, max(px) AS px FROM (
+    SELECT l_orderkey * 7 + l_linenumber AS k,
+           CAST(l_extendedprice AS DECIMAL(15,2)) AS px
+    FROM lineitem WHERE l_orderkey % 20 = 2
+  ) GROUP BY k
+),
+raw_json AS (
+  SELECT k,
+    'Service ' || CAST(k AS VARCHAR) AS description,
+    lpad(CAST(k % 100000 AS VARCHAR), 5, '0') AS code1,
+    CASE k % 4 WHEN 0 THEN 'CPT' WHEN 1 THEN 'HCPCS'
+               WHEN 2 THEN 'CUSTOM' ELSE 'APR-DRG' END AS code1_type,
+    CASE WHEN k % 2 = 0 THEN lpad(CAST(k % 1000 AS VARCHAR), 3, '0') ELSE '' END AS code2,
+    CASE WHEN k % 2 = 0 THEN 'DRG' ELSE '' END AS code2_type,
+    CASE WHEN k % 3 = 0 THEN '2' ELSE '' END AS drug_unit,
+    CASE WHEN k % 3 = 0 THEN 'ML' ELSE '' END AS drug_type,
+    CAST(px AS VARCHAR) AS gross,
+    CASE WHEN k % 3 <> 1
+         THEN CAST(CAST(round(px * 0.85, 2) AS DECIMAL(15,2)) AS VARCHAR) ELSE '' END AS cash,
+    CAST(CAST(round(px * 0.4, 2) AS DECIMAL(15,2)) AS VARCHAR) AS minp,
+    CAST(CAST(round(px * 1.7, 2) AS DECIMAL(15,2)) AS VARCHAR) AS maxp,
+    CASE WHEN k % 2 = 0 THEN 'inpatient' ELSE 'outpatient' END AS setting,
+    CAST(CAST(round(px * 0.6, 2) AS DECIMAL(15,2)) AS VARCHAR) AS nd,
+    'fee schedule' AS meth,
+    CAST(k % 50 + 20 AS VARCHAR) AS pct,
+    'algo-' || CAST(k % 4 AS VARCHAR) AS alg,
+    CASE WHEN k % 6 = 1
+         THEN CAST(CAST(round(px * 0.55, 2) AS DECIMAL(15,2)) AS VARCHAR) ELSE '' END AS est,
+    CASE WHEN k % 11 = 1 THEN 'requires review' ELSE '' END AS pnotes
+  FROM base
+)
+""".strip()
+
+_HOSP_JSON = "Synthetic JSON Hospital"
+
+_JSON_COLS = [
+    "k", "description", "code1", "code1_type", "code2", "code2_type",
+    "drug_unit", "drug_type", "gross", "cash", "minp", "maxp", "setting",
+    "nd", "meth", "pct", "alg", "est", "pnotes",
+]
+
+
+# (canonical field, payer, plan, derive alias) — drives the oracle melt.
+_WIDE_CELLS: list[tuple[str, str, str, str]] = [
+    ("negotiated_price", "Aetna", "PPO", "nd_aetna"),
+    ("negotiated_methodology", "Aetna", "PPO", "meth_aetna"),
+    ("negotiated_price", "Cigna", "HMO", "nd_cigna"),
+    ("negotiated_methodology", "Cigna", "HMO", "meth_cigna"),
+    ("_payer_notes", "Cigna", "HMO", "pn_cigna"),
+    ("estimated_amount", "United", "Gold", "est_united"),
+    ("negotiated_percentage", "United", "Gold", "pct_united"),
+    ("negotiated_algorithm", "United", "Gold", "alg_united"),
+]
+
+
+# ----------------------------------------------------------------------
+# Fixture builder (driver-side, cached per process)
+# ----------------------------------------------------------------------
+
+_FIXTURE_ROOT: str | None = None
+_FIXTURES: dict[tuple[str, str], str] = {}
+
+
+def _build_csv(sf_dir: str, kind: str) -> str:
+    """Derive + write the raw MRF CSV (2-line preamble, then header,
+    then body in derivation order). One file — order matters for the
+    wide layout's last-write-wins parity."""
+    global _FIXTURE_ROOT
+    key = (sf_dir, kind)
+    if key in _FIXTURES:
+        return _FIXTURES[key]
+    import duckdb
+
+    if _FIXTURE_ROOT is None:
+        _FIXTURE_ROOT = tempfile.mkdtemp(prefix="clearcare_mrf_fixtures_")
+    derive, headers, relation, hosp = {
+        "tall": (_TALL_DERIVE, _TALL_HEADERS, "raw_tall", _HOSP_TALL),
+        "wide": (_WIDE_DERIVE, _WIDE_HEADERS, "raw_wide", _HOSP_WIDE),
+    }[kind]
+    order = "k" if kind == "tall" else "rn"
+    cols = ", ".join(a for a, _ in headers)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        rows = con.execute(
+            f"WITH {derive} SELECT {cols} FROM {relation} ORDER BY {order}"
+        ).fetchall()
+    finally:
+        con.close()
+    path = os.path.join(_FIXTURE_ROOT, f"{sf_dir.strip('/').replace('/', '_')}_{kind}.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["hospital_name", "last_updated_on"])
+        w.writerow([hosp, _UPDATED])
+        w.writerow([h for _, h in headers])
+        w.writerows(rows)
+    _FIXTURES[key] = path
+    return path
+
+
+def _build_json(sf_dir: str) -> str:
+    """Assemble the nested CMS-v2 MRF JSON document from the flat
+    derive rows (pure structural nesting — no value transformation, so
+    the oracle only has to mirror the flattening, not the values)."""
+    global _FIXTURE_ROOT
+    key = (sf_dir, "json")
+    if key in _FIXTURES:
+        return _FIXTURES[key]
+    import duckdb
+    import json
+
+    if _FIXTURE_ROOT is None:
+        _FIXTURE_ROOT = tempfile.mkdtemp(prefix="clearcare_mrf_fixtures_")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        rows = con.execute(
+            f"WITH {_JSON_DERIVE} SELECT {', '.join(_JSON_COLS)} FROM raw_json ORDER BY k"
+        ).fetchall()
+    finally:
+        con.close()
+    items = []
+    for r in rows:
+        d = dict(zip(_JSON_COLS, r))
+        k = d["k"]
+        codes = [{"code": d["code1"], "type": d["code1_type"]}]
+        if d["code2"]:
+            codes.append({"code": d["code2"], "type": d["code2_type"]})
+        payers = []
+        if k % 17 != 0:
+            payers.append(
+                {
+                    "payer_name": "Alpha",
+                    "plan_name": "Basic",
+                    "standard_charge_dollar": d["nd"],
+                    "methodology": d["meth"],
+                }
+            )
+            if k % 2 == 1:
+                payers.append(
+                    {
+                        "payer_name": "Beta",
+                        "plan_name": "Plus",
+                        "standard_charge_percentage": d["pct"],
+                        "standard_charge_algorithm": d["alg"],
+                        "estimated_amount": d["est"],
+                        "additional_payer_notes": d["pnotes"],
+                    }
+                )
+        item = {
+            "description": d["description"],
+            "code_information": codes,
+            "standard_charges": [
+                {
+                    "gross_charge": d["gross"],
+                    "discounted_cash": d["cash"],
+                    "minimum": d["minp"],
+                    "maximum": d["maxp"],
+                    "setting": d["setting"],
+                    "payers_information": payers,
+                }
+            ],
+        }
+        if d["drug_unit"]:
+            item["drug_information"] = {"unit": d["drug_unit"], "type": d["drug_type"]}
+        items.append(item)
+    doc = {
+        "hospital_name": _HOSP_JSON,
+        "last_updated_on": _UPDATED,
+        "version": "2.0.0",
+        "standard_charge_information": items,
+    }
+    path = os.path.join(_FIXTURE_ROOT, f"{sf_dir.strip('/').replace('/', '_')}_mrf.json")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    _FIXTURES[key] = path
+    return path
+
+
+# ----------------------------------------------------------------------
+# Queries (real Spark extractors over the fixture file)
+# ----------------------------------------------------------------------
+
+
+def q_extract_tall_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clearcare_data_pipeline_spark.sources.extract_tall import extract_tall
+
+    return extract_tall(spark, _build_csv(sf_dir, "tall"), zip_code=_ZIP).charges
+
+
+def q_extract_tall_unknown_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clearcare_data_pipeline_spark.sources.extract_tall import extract_tall
+
+    return extract_tall(spark, _build_csv(sf_dir, "tall"), zip_code=_ZIP).unknown_types
+
+
+def q_extract_wide_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clearcare_data_pipeline_spark.sources.extract_wide import extract_wide
+
+    return extract_wide(spark, _build_csv(sf_dir, "wide"), zip_code=_ZIP).charges
+
+
+def q_extract_json_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clearcare_data_pipeline_spark.sources.extract_json import extract_json
+
+    return extract_json(spark, _build_json(sf_dir), zip_code=_ZIP).charges
+
+
+# ----------------------------------------------------------------------
+# Oracles (same derive CTE + SQL mirror of the extraction semantics)
+# ----------------------------------------------------------------------
+
+_PAYER_SPLIT_RE = r"^.*\[.*?\]\s*$"
+_PAYER_EXTRACT_RE = r"^(.*)\[(.*?)\]\s*$"
+
+
+def _payer_name_sql(col: str) -> str:
+    return (
+        f"CASE WHEN regexp_matches({col}, '{_PAYER_SPLIT_RE}') "
+        f"THEN trim(regexp_extract({col}, '{_PAYER_EXTRACT_RE}', 1)) ELSE trim({col}) END"
+    )
+
+
+def _payer_id_sql(col: str) -> str:
+    return (
+        f"CASE WHEN regexp_matches({col}, '{_PAYER_SPLIT_RE}') "
+        f"THEN trim(regexp_extract({col}, '{_PAYER_EXTRACT_RE}', 2)) ELSE '' END"
+    )
+
+
+def _tall_oracle() -> str:
+    norm = code_type_norm_sql("code_type_raw")
+    return f"""
+WITH {_TALL_DERIVE},
+slots AS (
+  SELECT *, code1 AS code, code1_type AS code_type_raw FROM raw_tall
+  WHERE code1 <> '' AND code1_type <> ''
+  UNION ALL
+  SELECT *, code2 AS code, code2_type AS code_type_raw FROM raw_tall
+  WHERE code2 <> '' AND code2_type <> ''
+),
+typed AS (SELECT *, {norm} AS code_type FROM slots),
+kept AS (SELECT * FROM typed WHERE code_type IN ({_ALLOWED}))
+SELECT
+  '{_HOSP_TALL}' AS hospital_name,
+  '{_ZIP}' AS zip_code,
+  code, code_type, description,
+  drug_unit, drug_type,
+  {_payer_name_sql('payer_raw')} AS payer_name,
+  {_payer_id_sql('payer_raw')} AS payer_id,
+  plan_name,
+  neg_dollar AS negotiated_price,
+  neg_pct AS negotiated_percentage,
+  '' AS negotiated_algorithm,
+  methodology AS negotiated_methodology,
+  gross AS gross_charge,
+  '' AS discounted_cash_price,
+  minp AS min_price,
+  maxp AS max_price,
+  est AS estimated_amount,
+  setting,
+  notes AS additional_notes,
+  modifiers
+FROM kept
+""".strip()
+
+
+def _tall_unknown_oracle() -> str:
+    norm = code_type_norm_sql("code_type_raw")
+    return f"""
+WITH {_TALL_DERIVE},
+slots AS (
+  SELECT code1 AS code, code1_type AS code_type_raw FROM raw_tall
+  WHERE code1 <> '' AND code1_type <> ''
+  UNION ALL
+  SELECT code2 AS code, code2_type AS code_type_raw FROM raw_tall
+  WHERE code2 <> '' AND code2_type <> ''
+),
+typed AS (SELECT *, {norm} AS code_type FROM slots)
+SELECT upper(trim(code_type_raw)) AS raw_code_type, count(*) AS n
+FROM typed WHERE code_type IS NULL OR code_type NOT IN ({_ALLOWED})
+GROUP BY upper(trim(code_type_raw))
+""".strip()
+
+
+def _wide_oracle() -> str:
+    norm = code_type_norm_sql("code_type_raw")
+    row_cols = "rn, k, dup, description, code1, code1_type, code2, code2_type, setting, modifiers, drug_unit, drug_type, gross, cash, minp, maxp, gnotes"
+    cells = "\n  UNION ALL\n".join(
+        f"  SELECT {row_cols}, '{field}' AS field, '{payer}' AS payer_name, "
+        f"'{plan}' AS plan_name, {alias} AS value FROM raw_wide WHERE {alias} <> ''"
+        for field, payer, plan, alias in _WIDE_CELLS
+    )
+    payer_fields = [
+        "negotiated_price",
+        "negotiated_percentage",
+        "negotiated_algorithm",
+        "estimated_amount",
+        "negotiated_methodology",
+        "_payer_notes",
+    ]
+    field_aggs = ",\n    ".join(
+        f"arg_max(CASE WHEN field = '{f}' THEN value END, "
+        f"CASE WHEN field = '{f}' THEN rn END) AS f_{f.lstrip('_')}"
+        for f in payer_fields
+    )
+    return f"""
+WITH {_WIDE_DERIVE},
+cells AS (
+{cells}
+),
+slots AS (
+  SELECT *, code1 AS code, code1_type AS code_type_raw FROM cells
+  WHERE code1 <> '' AND code1_type <> ''
+  UNION ALL
+  SELECT *, code2 AS code, code2_type AS code_type_raw FROM cells
+  WHERE code2 <> '' AND code2_type <> ''
+),
+typed AS (SELECT *, {norm} AS code_type FROM slots),
+kept AS (SELECT * FROM typed WHERE code_type IN ({_ALLOWED})),
+grouped AS (
+  SELECT code, code_type, code_type_raw, payer_name, plan_name,
+    {field_aggs},
+    arg_max(description, rn) AS g_description,
+    arg_max(gross, rn) AS g_gross,
+    arg_max(cash, rn) AS g_cash,
+    arg_max(minp, rn) AS g_minp,
+    arg_max(maxp, rn) AS g_maxp,
+    arg_max(setting, rn) AS g_setting,
+    arg_max(modifiers, rn) AS g_modifiers,
+    arg_max(drug_unit, rn) AS g_drug_unit,
+    arg_max(drug_type, rn) AS g_drug_type,
+    arg_max(gnotes, rn) AS g_gnotes
+  FROM kept
+  GROUP BY code, code_type, code_type_raw, payer_name, plan_name
+)
+SELECT
+  '{_HOSP_WIDE}' AS hospital_name,
+  '{_ZIP}' AS zip_code,
+  code, code_type,
+  coalesce(g_description, '') AS description,
+  coalesce(g_drug_unit, '') AS drug_unit,
+  coalesce(g_drug_type, '') AS drug_type,
+  payer_name,
+  '' AS payer_id,
+  plan_name,
+  coalesce(f_negotiated_price, '') AS negotiated_price,
+  coalesce(f_negotiated_percentage, '') AS negotiated_percentage,
+  coalesce(f_negotiated_algorithm, '') AS negotiated_algorithm,
+  coalesce(f_negotiated_methodology, '') AS negotiated_methodology,
+  coalesce(g_gross, '') AS gross_charge,
+  coalesce(g_cash, '') AS discounted_cash_price,
+  coalesce(g_minp, '') AS min_price,
+  coalesce(g_maxp, '') AS max_price,
+  coalesce(f_estimated_amount, '') AS estimated_amount,
+  coalesce(g_setting, '') AS setting,
+  -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+  coalesce(array_to_string(list_filter(
+    [coalesce(g_gnotes, ''), coalesce(f_payer_notes, '')],
+    x -> length(trim(x)) > 0), ', '), '') AS additional_notes,
+  coalesce(g_modifiers, '') AS modifiers
+FROM grouped
+""".strip()
+
+
+def _json_oracle() -> str:
+    norm = code_type_norm_sql("code_type_raw")
+    return f"""
+WITH {_JSON_DERIVE},
+slots AS (
+  SELECT *, code1 AS code, code1_type AS code_type_raw FROM raw_json
+  UNION ALL
+  SELECT *, code2 AS code, code2_type AS code_type_raw FROM raw_json WHERE k % 2 = 0
+),
+payers AS (
+  SELECT k AS pk, 'Alpha' AS payer_name, 'Basic' AS plan_name,
+         nd AS negotiated_price, '' AS negotiated_percentage,
+         '' AS negotiated_algorithm, meth AS negotiated_methodology,
+         '' AS estimated_amount, '' AS additional_notes
+  FROM raw_json WHERE k % 17 <> 0
+  UNION ALL
+  SELECT k, 'Beta', 'Plus', '', pct, alg, '', est, pnotes
+  FROM raw_json WHERE k % 17 <> 0 AND k % 2 = 1
+  UNION ALL
+  SELECT k, '', '', '', '', '', '', '', ''
+  FROM raw_json WHERE k % 17 = 0
+),
+flat AS (SELECT * FROM slots s JOIN payers p ON s.k = p.pk),
+typed AS (SELECT *, {norm} AS code_type FROM flat),
+kept AS (SELECT * FROM typed WHERE code_type IN ({_ALLOWED}))
+SELECT
+  '{_HOSP_JSON}' AS hospital_name,
+  '{_ZIP}' AS zip_code,
+  code, code_type, description,
+  drug_unit, drug_type,
+  payer_name,
+  '' AS payer_id,
+  plan_name,
+  negotiated_price,
+  negotiated_percentage,
+  negotiated_algorithm,
+  negotiated_methodology,
+  gross AS gross_charge,
+  cash AS discounted_cash_price,
+  minp AS min_price,
+  maxp AS max_price,
+  estimated_amount,
+  setting,
+  additional_notes,
+  '' AS modifiers
+FROM kept
+""".strip()
+
+
+QUERIES = {
+    "extract_tall_canonical": q_extract_tall_canonical,
+    "extract_tall_unknown_types": q_extract_tall_unknown_types,
+    "extract_wide_canonical": q_extract_wide_canonical,
+    "extract_json_canonical": q_extract_json_canonical,
+}
+
+ORACLES = {
+    "extract_tall_canonical": _tall_oracle(),
+    "extract_tall_unknown_types": _tall_unknown_oracle(),
+    "extract_wide_canonical": _wide_oracle(),
+    "extract_json_canonical": _json_oracle(),
+}
