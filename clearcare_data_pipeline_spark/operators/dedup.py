@@ -134,22 +134,28 @@ def jaccard_pairs(
     Without ``candidates`` (exact small-scale path): the unrestricted
     shingle-share self-join — exact but quadratic in per-shingle
     posting lists; do not use at corpus scale.
+
+    Joins run on xxhash64(shingle) — 8 bytes instead of a 30-50 byte
+    n-gram string, cutting shuffle volume ~5x. Intersection COUNTS are
+    identical to string joins absent a 64-bit collision within a doc
+    pair (~2^-64 per pair — ignorable even at 100 TB).
     """
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.select(F.col("doc_id").alias("a"), "shingle")
-    b = shingled.select(F.col("doc_id").alias("b"), "shingle")
+    hashed = shingled.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = hashed.select(F.col("doc_id").alias("a"), "sh")
+    b = hashed.select(F.col("doc_id").alias("b"), "sh")
     if candidates is not None:
         inter = (
             candidates.select("a", "b")
             .distinct()
             .join(a, "a")
-            .join(b, ["b", "shingle"])
+            .join(b, ["b", "sh"])
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
         inter = (
-            a.join(b, "shingle")
+            a.join(b, "sh")
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("inter"))

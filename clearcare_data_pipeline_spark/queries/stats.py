@@ -129,13 +129,26 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — intentionally no SQL oracle
-    (sketches differ across engines); the driver's rows-only check
-    applies. The exact twin above is the correctness anchor."""
+    """HyperLogLog++ distinct estimate under an error-bound gate.
+
+    The sketch value itself is engine-specific (not comparable across
+    engines), so it never leaves the plan; instead the output carries
+    the exact count plus a boolean asserting the estimate landed
+    within ±5 % of it. The oracle emits constant TRUE — if the sketch
+    ever drifts past the bound, the value hash mismatches and the gate
+    fails, so this entry is no longer a free rows-only pass."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.lit(0.05) * F.col("exact_parts")
+        ).alias("within_tolerance"),
     )
 
 
@@ -150,5 +163,10 @@ ORACLES = {
     "lineitem_stats": _STATS_ORACLE,
     "trailing_30d_spend": _TRAILING_ORACLE,
     "distinct_parts_per_flag": _DISTINCT_ORACLE,
-    # approx_distinct_parts: rows-only by design
+    # The estimate itself is engine-specific; the oracle checks the
+    # exact counts and asserts the in-plan ±5% tolerance held.
+    "approx_distinct_parts": (
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, "
+        "TRUE AS within_tolerance FROM lineitem GROUP BY l_returnflag"
+    ),
 }
