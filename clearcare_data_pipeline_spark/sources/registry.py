@@ -40,6 +40,38 @@ def save_registry(df: DataFrame, path: str) -> None:
     spark.createDataFrame(rows, df.schema).write.mode("overwrite").parquet(path)
 
 
+def load_registry_xlsx(spark: SparkSession, path: str, sheet_name: str = "Sheet1") -> DataFrame:
+    """S5 (native format): ingest a real ClearCare ``Hospital
+    Registry.xlsx`` (hospital_enricher.py:174-186 column layout, read
+    by the reference as ``pd.read_excel(..., sheet_name='Sheet1')``,
+    cleaning_utils.py:57). Columns are matched by header name; columns
+    the workbook lacks come back NULL, extra columns are ignored."""
+    from clearcare_data_pipeline_spark.sources.xlsx import read_xlsx
+
+    if not os.path.exists(path):
+        return empty_registry(spark)
+    header, rows = read_xlsx(path, sheet_name=sheet_name)
+    pos = {h: i for i, h in enumerate(header)}
+    data = [
+        tuple(row[pos[c]] if c in pos else None for c in REGISTRY_COLUMNS)
+        for row in rows
+    ]
+    return spark.createDataFrame(data, REGISTRY_SCHEMA)
+
+
+def save_registry_xlsx(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
+    """K6 (native format): rewrite the registry workbook in place the
+    way ``ETL_pipeline.py:49`` does (``to_excel(..., index=False)``) —
+    full-sheet rewrite in canonical column order."""
+    from clearcare_data_pipeline_spark.sources.xlsx import write_xlsx
+
+    rows = [
+        [None if r[c] is None else str(r[c]) for c in REGISTRY_COLUMNS]
+        for r in df.select(*REGISTRY_COLUMNS).collect()
+    ]
+    write_xlsx(path, list(REGISTRY_COLUMNS), rows, sheet_name=sheet_name)
+
+
 def lookup_campus(registry: DataFrame, campus_id: str) -> Row:
     """S6/J1: point lookup; error if absent (cleaning_utils.py:56-66)."""
     rows = registry.where(registry.campus_id == campus_id).limit(1).collect()
