@@ -51,3 +51,28 @@ def test_non_image_rows_excluded(spark):
     rows = [(1, "audio", b"aaaa", "mem://a"), (2, "image", make_fake_image_bytes(16, 16, 2), "m")]
     media = spark.createDataFrame(rows, make_fake_media(spark, 1).schema)
     assert image_features(media).count() == 1
+
+
+def test_real_codec_path(spark):
+    """Real-codec smoke: decode + resize an actual PNG through the same
+    mapInPandas operators. Runs only where Pillow is installed; the
+    container this repo is developed in does not ship it."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", png, "mem://real.png")], make_fake_media(spark, 1).schema
+    )
+    feats = image_features(media).collect()[0]
+    assert (feats["width"], feats["height"], feats["format"]) == (40, 30, "png")
+    resized = resize_images(media, 16, 12).collect()[0]
+    assert resized["content"] is not None
+    with Image.open(io.BytesIO(bytes(resized["content"]))) as img:
+        assert (img.width, img.height) == (16, 12)
