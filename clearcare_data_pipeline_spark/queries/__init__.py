@@ -22,10 +22,11 @@ def all_queries() -> dict[str, QueryFn]:
         textops,
         textops2,
         tpch_extra,
+        tpch_extra2,
     )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
+    for mod in (relational, tpch_extra, tpch_extra2, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
         out.update(mod.QUERIES)
     return out
 
@@ -42,9 +43,10 @@ def all_oracles() -> dict[str, str]:
         textops,
         textops2,
         tpch_extra,
+        tpch_extra2,
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, tpch_extra, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
+    for mod in (relational, tpch_extra, tpch_extra2, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
         out.update(mod.ORACLES)
     return out
