@@ -289,6 +289,25 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+# --- skew-safe exact distinct count (operators/skew.py) ------------------
+
+
+def q_salted_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT supplier) per returnflag via the two-phase
+    salted plan — returnflag has 3 values, i.e. every group is a hub;
+    the plain plan funnels each group through one task."""
+    from clearcare_data_pipeline_spark.operators.skew import salted_distinct_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_distinct_count(li, ["l_returnflag"], "l_suppkey", num_salts=32)
+
+
+_SALTED_DISTINCT_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_l_suppkey
+FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q8_market_share": q8_market_share,
     "q9_nation_profit": q9_nation_profit,
@@ -296,9 +315,11 @@ QUERIES = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "salted_distinct_suppliers": q_salted_distinct_suppliers,
 }
 
 ORACLES = {
+    "salted_distinct_suppliers": _SALTED_DISTINCT_ORACLE,
     "q8_market_share": _Q8_ORACLE,
     "q9_nation_profit": _Q9_ORACLE,
     "q10_returned_item_customers": _Q10_ORACLE,
