@@ -177,3 +177,119 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return media.where(F.col("kind") == "image").mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# Video frame sampling + audio features
+# ----------------------------------------------------------------------
+#
+# Same stub discipline as images: a deterministic fake container format
+# exercises the full Spark-side contract (schema, Arrow batching,
+# per-row fan-out); a real deployment swaps the parser for pyav /
+# torchaudio behind the same signatures.
+
+# Fake video: magic 'FVID' + u16 n_frames + u16 width + u16 height,
+# then n_frames x 16-byte frame payloads.
+_FAKE_VIDEO_MAGIC = b"FVID"
+_FRAME_BYTES = 16
+
+# Fake audio: magic 'FAUD' + u32 n_samples + u16 sample_rate.
+_FAKE_AUDIO_MAGIC = b"FAUD"
+
+
+def make_fake_video_bytes(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    frames = b"".join(
+        bytes((seed * 17 + f * 31 + i) % 256 for i in range(_FRAME_BYTES))
+        for f in range(n_frames)
+    )
+    return _FAKE_VIDEO_MAGIC + struct.pack("<HHH", n_frames, width, height) + frames
+
+
+def make_fake_audio_bytes(n_samples: int, sample_rate: int) -> bytes:
+    return _FAKE_AUDIO_MAGIC + struct.pack("<IH", n_samples, sample_rate)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Sample every k-th frame of each video as its own output row —
+    the fan-out shape (1 row in, n_frames/k rows out) that makes
+    mapInPandas the right operator here: the batch iterator lets one
+    input row yield many output rows without a driver round trip, and
+    partitioning carries over from the media scan."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                if blob[:4] != _FAKE_VIDEO_MAGIC or len(blob) < 10:
+                    continue  # undecodable video: skip, never raise
+                n_frames, w, h = struct.unpack("<HHH", blob[4:10])
+                for f in range(0, n_frames, every_k):
+                    start = 10 + f * _FRAME_BYTES
+                    out.append(
+                        {
+                            "media_id": int(media_id),
+                            "frame_index": f,
+                            "n_frames": n_frames,
+                            "width": w,
+                            "height": h,
+                            "frame": blob[start : start + _FRAME_BYTES],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(F.col("kind") == "video").mapInPandas(do_sample, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_s", StringType(), True),  # decimal string, engine-stable
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Header-level audio features (duration as an exact decimal string
+    so downstream comparisons are float-free)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                row = {
+                    "media_id": int(media_id),
+                    "n_bytes": len(blob),
+                    "n_samples": None,
+                    "sample_rate": None,
+                    "duration_s": None,
+                }
+                if blob[:4] == _FAKE_AUDIO_MAGIC and len(blob) >= 10:
+                    n_samples, rate = struct.unpack("<IH", blob[4:10])
+                    row.update(
+                        n_samples=n_samples,
+                        sample_rate=rate,
+                        duration_s=f"{n_samples / rate:.6f}" if rate else None,
+                    )
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(extract, AUDIO_FEATURES_SCHEMA)

@@ -76,3 +76,46 @@ def test_real_codec_path(spark):
     assert resized["content"] is not None
     with Image.open(io.BytesIO(bytes(resized["content"]))) as img:
         assert (img.width, img.height) == (16, 12)
+
+
+def test_sample_frames_fanout(spark):
+    from clearcare_data_pipeline_spark.operators.multimodal import (
+        make_fake_video_bytes,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "video", make_fake_video_bytes(25, 320, 240, seed=1), "mem://v1"),
+        (2, "video", make_fake_video_bytes(7, 640, 480, seed=2), "mem://v2"),
+        (3, "video", b"garbage", "mem://v3"),
+        (4, "image", make_fake_image_bytes(8, 8, 4), "mem://i4"),
+    ]
+    media = spark.createDataFrame(rows, make_fake_media(spark, 1).schema)
+    frames = sample_frames(media, every_k=10).collect()
+    got = sorted((r["media_id"], r["frame_index"]) for r in frames)
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
+    by = {(r["media_id"], r["frame_index"]): r for r in frames}
+    assert by[(1, 10)]["width"] == 320 and by[(1, 10)]["n_frames"] == 25
+    assert len(bytes(by[(2, 0)]["frame"])) == 16
+    # frame payloads are positionally distinct and deterministic
+    assert bytes(by[(1, 0)]["frame"]) != bytes(by[(1, 10)]["frame"])
+
+
+def test_audio_features(spark):
+    from clearcare_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        make_fake_audio_bytes,
+    )
+
+    rows = [
+        (1, "audio", make_fake_audio_bytes(48000, 16000), "mem://a1"),
+        (2, "audio", b"nope", "mem://a2"),
+        (3, "video", make_fake_audio_bytes(10, 10), "mem://v"),
+    ]
+    media = spark.createDataFrame(rows, make_fake_media(spark, 1).schema)
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert set(feats) == {1, 2}
+    assert feats[1]["n_samples"] == 48000
+    assert feats[1]["sample_rate"] == 16000
+    assert feats[1]["duration_s"] == "3.000000"
+    assert feats[2]["n_samples"] is None
