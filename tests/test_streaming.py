@@ -93,3 +93,34 @@ def test_stream_dedup_events(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert {r["event_id"] for r in got.collect()} == {1, 2}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from clearcare_data_pipeline_spark.streaming.joins import stream_click_attribution
+
+    imp_dir, click_dir = tmp_path / "imps", tmp_path / "clicks"
+    imp_dir.mkdir(); click_dir.mkdir()
+    (imp_dir / "i.json").write_text(
+        '{"ad_id": "a1", "imp_ts": "2024-01-01T10:00:00"}\n'
+        '{"ad_id": "a2", "imp_ts": "2024-01-01T10:00:00"}\n'
+        '{"ad_id": "a1", "imp_ts": "2024-01-01T10:10:00"}\n'
+    )
+    (click_dir / "c.json").write_text(
+        # within 5m of a1's first impression
+        '{"ad_id": "a1", "click_ts": "2024-01-01T10:03:00"}\n'
+        # 9m after a2's impression: outside the attribution window
+        '{"ad_id": "a2", "click_ts": "2024-01-01T10:09:00"}\n'
+        # before any a1 impression at 10:10? No - 10:11 is within [10:10, 10:15]
+        '{"ad_id": "a1", "click_ts": "2024-01-01T10:11:00"}\n'
+    )
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = stream_click_attribution(spark, str(imp_dir), str(click_dir), out, chk)
+    q.awaitTermination(120)
+    got = sorted(
+        (r["ad_id"], str(r["imp_ts"]), str(r["click_ts"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("a1", "2024-01-01 10:00:00", "2024-01-01 10:03:00"),
+        ("a1", "2024-01-01 10:10:00", "2024-01-01 10:11:00"),
+    ]
