@@ -152,11 +152,37 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantile sketch (percentile_approx) under the same
+    error-bound gate pattern as the HLL entry: the sketch value stays
+    in-plan; the output asserts it landed within ±2 % of the exact
+    percentile, which the oracle pins to constant TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+    )
+    ok = (
+        F.abs(F.col("approx_p50") - F.col("exact_p50")) <= F.lit(0.02) * F.col("exact_p50")
+    ) & (
+        F.abs(F.col("approx_p95") - F.col("exact_p95")) <= F.lit(0.02) * F.col("exact_p95")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact_p50", 6).alias("exact_p50"),
+        F.round("exact_p95", 6).alias("exact_p95"),
+        ok.alias("within_tolerance"),
+    )
+
+
 QUERIES = {
     "lineitem_stats": q_lineitem_stats,
     "trailing_30d_spend": q_trailing_30d_spend,
     "distinct_parts_per_flag": q_distinct_parts_per_flag,
     "approx_distinct_parts": q_approx_distinct_parts,
+    "approx_price_quantiles": q_approx_price_quantiles,
 }
 
 ORACLES = {
@@ -167,6 +193,12 @@ ORACLES = {
     # exact counts and asserts the in-plan ±5% tolerance held.
     "approx_distinct_parts": (
         "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, "
+        "TRUE AS within_tolerance FROM lineitem GROUP BY l_returnflag"
+    ),
+    "approx_price_quantiles": (
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50, "
+        "round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95, "
         "TRUE AS within_tolerance FROM lineitem GROUP BY l_returnflag"
     ),
 }
