@@ -132,11 +132,8 @@ def _centroid(c: int) -> list[float]:
     return [float(((i * 13 + c * 29) % 17) - 8) / 8.0 for i in range(PLANE_DIM)]
 
 
-def ivf_cell_expr(dvec: Column) -> Column:
-    """Nearest-centroid cell id (argmin L2 distance; first-min wins —
-    the IVF coarse quantizer). Distances are computed with the same
-    sequential fold as dot products, so cell assignment is
-    engine-portable.
+def _centroid_dists_expr(dvec: Column) -> Column:
+    """L2 distances to all centroids as one array.
 
     Shape matters for codegen: the centroid matrix is ONE constant
     array-of-arrays literal and the per-centroid distance is ONE
@@ -146,7 +143,7 @@ def ivf_cell_expr(dvec: Column) -> Column:
     centroids = F.array(
         *[F.array(*[F.lit(w) for w in _centroid(c)]) for c in range(NUM_CENTROIDS)]
     )
-    dists = F.transform(
+    return F.transform(
         centroids,
         lambda cv: F.aggregate(
             F.zip_with(dvec, cv, lambda x, y: (x - y) * (x - y)),
@@ -154,7 +151,25 @@ def ivf_cell_expr(dvec: Column) -> Column:
             lambda acc, x: acc + x,
         ),
     )
+
+
+def ivf_cell_expr(dvec: Column) -> Column:
+    """Nearest-centroid cell id (argmin L2 distance; first-min wins —
+    the IVF coarse quantizer). Distances are computed with the same
+    sequential fold as dot products, so cell assignment is
+    engine-portable."""
+    dists = _centroid_dists_expr(dvec)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_cells_expr(dvec: Column, nprobe: int = 2) -> Column:
+    """The ``nprobe`` nearest cells, nearest first (distance ties break
+    toward the lower cell id, matching ``ivf_cell_expr``'s first-min)."""
+    dists = _centroid_dists_expr(dvec)
+    pairs = F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["i"].cast("int")
+    )
 
 
 def ivf_assignments(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -195,4 +210,45 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "cell", "neighbor_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def ivf_topk_nprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k probing the query's ``nprobe`` nearest cells — the
+    standard recall lever: candidates keep their single home cell, the
+    (tiny, broadcast) query side fans out to nprobe rows, so candidate
+    volume grows ~nprobe-fold while the join stays keyed on cell.
+    Candidate pairs stay unique because each candidate lives in exactly
+    one cell and a query's probed cells are distinct."""
+    from pyspark.sql import Window
+
+    cand = ivf_assignments(vectors, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "dvec", "norm"
+    )
+    d = with_norm(queries, "embedding")
+    q = d.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(ivf_cells_expr(F.col("dvec"), nprobe)).alias("cell"),
+        F.col("dvec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot_expr(F.col("dvec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
     )

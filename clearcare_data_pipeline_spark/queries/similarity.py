@@ -221,3 +221,59 @@ SELECT query_id, cell, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= {_TOPK}
 
 QUERIES["emb_ivf_topk"] = q_emb_ivf_topk
 ORACLES["emb_ivf_topk"] = _IVF_ORACLE
+
+
+# --- IVF with nprobe=2 (the recall lever) --------------------------------
+
+from clearcare_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    NUM_CENTROIDS as _NC,
+    ivf_topk_nprobe,
+)
+
+_NPROBE = 2
+
+
+def q_emb_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _emb(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % _QUERY_MOD == 0)
+    return ivf_topk_nprobe(vecs, queries, k=_TOPK, nprobe=_NPROBE)
+
+
+def _dists_list_sql(dv: str) -> str:
+    return "[" + ", ".join(_centroid_dist_sql(dv, c) for c in range(NUM_CENTROIDS)) + "]"
+
+
+_IVF_NPROBE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm, {_dists_list_sql('dv')} AS dists
+  FROM (SELECT vec_id, {_DV} AS dv FROM embeddings)
+),
+cellified AS (
+  SELECT vec_id, dv, nrm,
+    list_transform(
+      list_sort(list_transform(range(0, {_NC}), i -> {{'d': dists[i + 1], 'i': i}})),
+      s -> s.i) AS order_cells
+  FROM base
+),
+cand AS (
+  SELECT vec_id, dv, nrm, CAST(order_cells[1] AS INT) AS cell FROM cellified
+),
+q AS (
+  SELECT vec_id, dv, nrm, CAST(unnest(order_cells[1:{_NPROBE}]) AS INT) AS cell
+  FROM cellified WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({_dot('c.dv', 'q.dv')} / (c.nrm * q.nrm), 6) AS cos_sim
+  FROM cand c JOIN q USING (cell) WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= {_TOPK}
+"""
+
+QUERIES["emb_ivf_topk_nprobe2"] = q_emb_ivf_topk_nprobe2
+ORACLES["emb_ivf_topk_nprobe2"] = _IVF_NPROBE_ORACLE
