@@ -134,13 +134,78 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- training-data selection (the composite corpus-prep flow) ------------
+
+_SEL_QUALITY = 0.3
+_SEL_BUDGET = 20000
+
+
+def q_doc_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM corpus-prep chain as ONE declarative plan:
+    exact dedup (min-id per fingerprint) -> language gate -> quality
+    threshold -> greedy token-budget selection (best-quality-first
+    cumulative sum capped at the budget).
+
+    Scale note: the final cumulative sum is a globally ordered window
+    (single-task reduce of the SURVIVORS, which the quality gate has
+    already shrunk by orders of magnitude). At 100 TB, replace the
+    greedy scan with a quality-threshold search via approx quantiles
+    over (quality, n_tokens) — constant number of full passes — and
+    keep this exact plan for the final within-epsilon slice.
+    """
+    from clearcare_data_pipeline_spark.operators.textstats import text_stats
+
+    d = text_stats(load_table(spark, sf_dir, "documents"))
+    keep = d.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    deduped = d.join(keep, ["fingerprint", "doc_id"])
+    gated = deduped.where(
+        (F.col("lang_guess") == "en") & (F.col("quality") >= _SEL_QUALITY)
+    )
+    w = (
+        Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        gated.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _SEL_BUDGET)
+        .select("doc_id", "n_tokens", "quality", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+    )
+
+
+def _training_selection_oracle() -> str:
+    from clearcare_data_pipeline_spark.queries.textops import _doc_stats_oracle
+
+    return f"""
+WITH stats AS (
+{_doc_stats_oracle()}
+),
+keep AS (
+  SELECT fingerprint, min(doc_id) AS doc_id FROM stats GROUP BY fingerprint
+),
+gated AS (
+  SELECT s.* FROM stats s JOIN keep USING (fingerprint, doc_id)
+  WHERE s.lang_guess = 'en' AND s.quality >= {_SEL_QUALITY}
+),
+cum AS (
+  SELECT doc_id, n_tokens, quality,
+    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM gated
+)
+SELECT doc_id, n_tokens, quality, cum_tokens FROM cum
+WHERE cum_tokens <= {_SEL_BUDGET}
+"""
+
+
 QUERIES = {
+    "doc_training_selection": q_doc_training_selection,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "doc_near_dup_clusters": q_doc_near_dup_clusters,
     "quantity_percentiles": q_quantity_percentiles,
 }
 
 ORACLES = {
+    "doc_training_selection": _training_selection_oracle(),
     "doc_tfidf_top_terms": _TFIDF_ORACLE,
     "doc_near_dup_clusters": _CLUSTERS_ORACLE,
     "quantity_percentiles": _PCT_ORACLE,
