@@ -25,7 +25,17 @@ def empty_registry(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], REGISTRY_SCHEMA)
 
 
+def _is_xlsx(path: str) -> bool:
+    return path.lower().endswith((".xlsx", ".xlsm"))
+
+
 def load_registry(spark: SparkSession, path: str) -> DataFrame:
+    """Format-dispatching load: a ``.xlsx`` path reads the reference's
+    native workbook layout, anything else the parquet dimension — so a
+    ClearCare user can point run_etl at their existing
+    ``Hospital Registry.xlsx`` unchanged."""
+    if _is_xlsx(path):
+        return load_registry_xlsx(spark, path)
     if not os.path.exists(path):
         return empty_registry(spark)
     return spark.read.parquet(path)
@@ -35,6 +45,9 @@ def save_registry(df: DataFrame, path: str) -> None:
     # collect-then-rewrite: the dimension is tiny and the target may be
     # the same path we read from (Spark cannot overwrite its own input
     # lazily).
+    if _is_xlsx(path):
+        save_registry_xlsx(df, path)
+        return
     rows = df.collect()
     spark = df.sparkSession
     spark.createDataFrame(rows, df.schema).write.mode("overwrite").parquet(path)
@@ -93,4 +106,7 @@ def upsert_campus(spark: SparkSession, path: str, campus_id: str, updates: dict[
     out = spark.createDataFrame(
         [tuple(r[c] for c in REGISTRY_COLUMNS) for r in current.values()], REGISTRY_SCHEMA
     )
-    out.write.mode("overwrite").parquet(path)
+    if _is_xlsx(path):
+        save_registry_xlsx(out, path)
+    else:
+        out.write.mode("overwrite").parquet(path)

@@ -106,3 +106,21 @@ def test_write_xlsx_wide_sheet_column_letters(tmp_path):
     h, rows = read_xlsx(path)
     assert h == header
     assert rows == [[str(i) for i in range(30)]]
+
+
+def test_upsert_and_dispatch_through_xlsx_path(spark, tmp_path):
+    # load_registry / upsert_campus dispatch on the .xlsx extension, so
+    # the reference's read-modify-write workbook cycle works verbatim.
+    from clearcare_data_pipeline_spark.sources.registry import (
+        load_registry,
+        upsert_campus,
+    )
+
+    path = str(tmp_path / "Hospital Registry.xlsx")
+    save_registry_xlsx(_mk_registry(spark, [_row("gen", "General")]), path)
+    upsert_campus(spark, path, "gen", {"etl_status": "done"})
+    upsert_campus(spark, path, "new1", {"hospital_name": "New One"})
+    reg = load_registry(spark, path)
+    assert reg.count() == 2
+    assert lookup_campus(reg, "gen")["etl_status"] == "done"
+    assert lookup_campus(reg, "new1")["hospital_name"] == "New One"
