@@ -134,6 +134,67 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- chunking + PII masking ----------------------------------------------
+
+_CHUNK = 64
+_OVERLAP = 16
+_STRIDE = _CHUNK - _OVERLAP
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clearcare_data_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+
+
+_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+
+_CHUNKS_ORACLE = f"""
+WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+st AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, {_STRIDE})) AS s
+  FROM w0
+)
+SELECT doc_id,
+  CAST(s // {_STRIDE} AS INT) AS chunk_id,
+  CAST(s AS INT) AS start_token,
+  CAST(least({_CHUNK}, len(w) - s) AS INT) AS n_tokens,
+  array_to_string(w[s + 1 : s + {_CHUNK}], ' ') AS chunk_text
+FROM st WHERE least({_CHUNK}, len(w) - s) > 0
+"""
+
+_PII_SUFFIX = " contact: a.smith+x@example.com or 555-123-4567, ssn 123-45-6789"
+
+
+def q_doc_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over a corpus with planted contact strings (every
+    doc_id % 9 == 0 doc gets an email + phone + SSN appended)."""
+    from clearcare_data_pipeline_spark.operators.chunking import mask_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    return mask_pii(corpus).select("doc_id", "text")
+
+
+def _pii_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.chunking import pii_mask_sql
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 0 THEN text || '{_PII_SUFFIX}' ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {pii_mask_sql('text')} AS text FROM corpus
+"""
+
+
 # --- training-data selection (the composite corpus-prep flow) ------------
 
 _SEL_QUALITY = 0.3
@@ -198,6 +259,8 @@ WHERE cum_tokens <= {_SEL_BUDGET}
 
 
 QUERIES = {
+    "doc_chunks": q_doc_chunks,
+    "doc_pii_masked": q_doc_pii_masked,
     "doc_training_selection": q_doc_training_selection,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "doc_near_dup_clusters": q_doc_near_dup_clusters,
@@ -205,6 +268,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_chunks": _CHUNKS_ORACLE,
+    "doc_pii_masked": _pii_oracle(),
     "doc_training_selection": _training_selection_oracle(),
     "doc_tfidf_top_terms": _TFIDF_ORACLE,
     "doc_near_dup_clusters": _CLUSTERS_ORACLE,

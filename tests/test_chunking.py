@@ -1,0 +1,51 @@
+"""Chunking + PII masking operator edge cases (gate covers the bulk)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.chunking import chunk_documents, mask_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_overlap_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=4, overlap=2
+    ).collect()
+    got = [(r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk_text"]) for r in out]
+    assert got == [
+        (0, 0, 4, "w0 w1 w2 w3"),
+        (1, 2, 4, "w2 w3 w4 w5"),
+        (2, 4, 4, "w4 w5 w6 w7"),
+        (3, 6, 4, "w6 w7 w8 w9"),
+        (4, 8, 2, "w8 w9"),  # kept partial tail
+    ]
+
+
+def test_chunk_empty_and_whitespace_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, ""), (2, "   "), (3, "one")]), chunk_tokens=4, overlap=1
+    ).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in out] == [(3, "one")]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, [(1, "a b")]), chunk_tokens=4, overlap=4)
+
+
+def test_mask_pii_patterns(spark):
+    rows = [
+        (1, "mail me at jo.doe+tag@sub.example.org today"),
+        (2, "call +1 555-123-4567 or 555-1234"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "nothing sensitive here"),
+    ]
+    got = {r["doc_id"]: r["text"] for r in mask_pii(_docs(spark, rows)).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert "<PHONE>" in got[2]
+    assert got[3] == "ssn <ID> on file"
+    assert got[4] == "nothing sensitive here"
