@@ -196,3 +196,51 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame, *, max_hamming: int = 1, bits: int = 16, num_blocks: int = 2
+) -> DataFrame:
+    """(a, b, hamming) near-dup pairs by SimHash block bucketing.
+
+    Pigeonhole LSH: a signature is split into ``num_blocks`` equal bit
+    blocks; any pair within hamming distance < num_blocks must agree
+    exactly on at least one block, so candidate generation is a keyed
+    self-join on (block_index, block_value) — never all-pairs — and the
+    exact popcount(xor) verify runs only inside buckets. At corpus
+    scale, size num_blocks so signatures/2^(bits/num_blocks) keeps
+    bucket populations bounded (more blocks = more recall, bigger
+    buckets).
+    """
+    block_bits = bits // num_blocks
+    blocks = signatures.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * block_bits)
+                    % F.lit(1 << block_bits)
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    left = blocks.select(
+        F.col("block"), F.col("block_val"),
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"),
+    )
+    right = blocks.select(
+        F.col("block"), F.col("block_val"),
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"),
+    )
+    return (
+        left.join(right, ["block", "block_val"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -248,11 +248,14 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_docs(spark, sf_dir))
 
 
-_SIMHASH_ORACLE = """
-WITH toks AS (
+def _simhash_cte(relation: str) -> str:
+    """WITH-clause body ending in ``sigs`` = (doc_id, simhash) over
+    ``relation`` — shared by the signature and pairing oracles."""
+    return f"""
+toks AS (
   SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
                                  t -> length(t) > 0)) AS tok
-  FROM documents
+  FROM {relation}
 ),
 votes AS (
   SELECT doc_id, bit,
@@ -262,10 +265,42 @@ votes AS (
 ),
 bitsums AS (
   SELECT doc_id, bit, sum(vote) AS s FROM votes GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsums GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-FROM bitsums GROUP BY doc_id
+""".strip()
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_simhash_cte('documents')}
+SELECT doc_id, simhash FROM sigs
+"""
+
+
+def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 1) on the planted corpus.
+
+    The Spark plan buckets on signature half-blocks (pigeonhole: any
+    pair at hamming <= 1 agrees exactly on one half), so the self-join
+    is keyed, never all-pairs; the oracle deliberately computes the
+    same result by brute force, proving the bucketing is lossless."""
+    from clearcare_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    sigs = simhash_signatures(corpus_near_dups(spark, sf_dir))
+    return simhash_near_dup_pairs(sigs, max_hamming=1, bits=16, num_blocks=2)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+{_simhash_cte('corpus')}
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+FROM sigs s1, sigs s2
+WHERE s1.doc_id < s2.doc_id
+  AND bit_count(xor(s1.simhash, s2.simhash)) <= 1
 """
 
 
@@ -291,6 +326,7 @@ QUERIES = {
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_lang_source_rollup": q_doc_lang_source_rollup,
 }
 
@@ -301,5 +337,6 @@ ORACLES = {
     "doc_ngram_jaccard": _JACCARD_ORACLE,
     "doc_minhash_lsh": _MINHASH_ORACLE,
     "doc_simhash": _SIMHASH_ORACLE,
+    "doc_simhash_near_dups": _SIMHASH_PAIRS_ORACLE,
     "doc_lang_source_rollup": _ROLLUP_ORACLE,
 }
