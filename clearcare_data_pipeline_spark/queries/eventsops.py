@@ -25,6 +25,9 @@ _GAP_MIN = 30
 # same microsecond precision the Spark loader uses.
 _EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events"
 
+# Same relation, no baked-in alias (for oracles that alias it themselves).
+_EVQ = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
 
 def _dec(col, prec: int = 18, scale: int = 4):
     return col.cast(f"decimal({prec},{scale})")
@@ -164,7 +167,119 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- funnel: view -> click -> purchase within 24h of first view ----------
+
+_FUNNEL_HOURS = 24
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user staged funnel: first view, first click after it, first
+    purchase after that click — click and purchase must land within
+    24 h of the view. Three keyed aggregations, no windows over the
+    full stream and no self-join fan-out: each stage is a conditional
+    min over the user's events, so the plan is shuffle-bounded by
+    distinct users."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"), F.first("view_ts").alias("view_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("purchase_ts"),
+            F.first("view_ts").alias("view_ts"),
+            F.first("click_ts").alias("click_ts"),
+        )
+    )
+    lim = F.col("view_ts") + F.expr(f"INTERVAL {_FUNNEL_HOURS} HOURS")
+    s1 = v.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("1_view").alias("stage"), "n_users"
+    )
+    s2 = (
+        c.where(F.col("click_ts") <= lim)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("2_click").alias("stage"), "n_users")
+    )
+    s3 = (
+        p.where((F.col("click_ts") <= lim) & (F.col("purchase_ts") <= lim))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("3_purchase").alias("stage"), "n_users")
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM {EV} ev0
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts, min(v.view_ts) AS view_ts
+  FROM {EV} e JOIN v ON e.user_id = v.user_id AND e.ts >= v.view_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts,
+         min(c.view_ts) AS view_ts, min(c.click_ts) AS click_ts
+  FROM {EV} e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click', count(*) FROM c
+WHERE click_ts <= view_ts + INTERVAL {H} HOURS
+UNION ALL
+SELECT '3_purchase', count(*) FROM p
+WHERE click_ts <= view_ts + INTERVAL {H} HOURS
+  AND purchase_ts <= view_ts + INTERVAL {H} HOURS
+""".format(EV=_EVQ, H=_FUNNEL_HOURS)
+
+
+# --- weekly retention cohorts ---------------------------------------------
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = each user's first-activity date; count distinct users
+    active k whole weeks after their cohort date."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    joined = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_date",
+        (F.datediff(F.to_date("ts"), F.col("cohort_date")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return joined.groupBy("cohort_date", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM {EV} ev0 GROUP BY user_id
+)
+SELECT cohort_date,
+  CAST(date_diff('day', cohort_date, CAST(e.ts AS DATE)) // 7 AS INT) AS week_offset,
+  count(DISTINCT e.user_id) AS n_users
+FROM {EV} e JOIN first USING (user_id)
+GROUP BY 1, 2
+""".format(EV=_EVQ)
+
+
 QUERIES = {
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "events_tumbling_hourly": q_events_tumbling_hourly,
     "events_sliding_windows": q_events_sliding_windows,
     "events_sessionization": q_events_sessionization,
@@ -173,6 +288,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": _FUNNEL_ORACLE,
+    "events_retention": _RETENTION_ORACLE,
     "events_tumbling_hourly": _TUMBLING_ORACLE,
     "events_sliding_windows": _SLIDING_ORACLE,
     "events_sessionization": _SESSION_ORACLE,
