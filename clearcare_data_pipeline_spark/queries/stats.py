@@ -177,7 +177,26 @@ def q_approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of lineitem (operators/profiling.py)."""
+    from clearcare_data_pipeline_spark.operators.profiling import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li, _PROFILE_NUM, _PROFILE_STR)
+
+
+def _profile_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.profiling import profile_sql
+
+    return profile_sql("lineitem", _PROFILE_NUM, _PROFILE_STR)
+
+
 QUERIES = {
+    "lineitem_profile": q_lineitem_profile,
     "lineitem_stats": q_lineitem_stats,
     "trailing_30d_spend": q_trailing_30d_spend,
     "distinct_parts_per_flag": q_distinct_parts_per_flag,
@@ -186,6 +205,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_profile": _profile_oracle(),
     "lineitem_stats": _STATS_ORACLE,
     "trailing_30d_spend": _TRAILING_ORACLE,
     "distinct_parts_per_flag": _DISTINCT_ORACLE,
