@@ -1,0 +1,55 @@
+"""Layout operators: disjoint file ranges + compaction file counts."""
+
+import glob
+
+import pyarrow.parquet as pq
+
+from clearcare_data_pipeline_spark.operators.layout import (
+    compact_parquet,
+    write_range_layout,
+)
+from clearcare_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _file_ranges(path, column):
+    """(min, max) of `column` per parquet file, from footer stats."""
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def test_range_layout_files_are_disjoint(spark, tmp_path):
+    out = str(tmp_path / "clustered")
+    li = load_table(spark, SF, "lineitem")
+    write_range_layout(li, out, ["l_shipdate"], num_files=6)
+    ranges = sorted(_file_ranges(out, "l_shipdate"))
+    assert len(ranges) >= 4  # range partitioner may merge sparse tails
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        # boundary rows may share a timestamp; strict overlap is a bug
+        assert hi1 <= lo2
+    # whole dataset survives the rewrite
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compacted")
+    li = load_table(spark, SF, "lineitem")
+    li.repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n
+    assert len(files) < 5
+    assert spark.read.parquet(dst).count() == li.count()
