@@ -38,6 +38,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return w.join(keep, ["_fp", "doc_id"], "inner").drop("_fp")
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame, seen_fingerprints: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Continuous-ingestion dedup: drop incoming docs whose fingerprint
+    already exists in the history store, then dedup the batch itself
+    (min id wins). The history check is a LEFT ANTI join on the
+    16-byte fingerprint — at 100 TB the seen-store is a fingerprint-
+    bucketed table and this join co-locates by the same key, touching
+    no document payload. ``seen_fingerprints`` needs one column:
+    ``fingerprint``."""
+    fp = fingerprint_expr(F.col(text_col))
+    w = new_docs.withColumn("_fp", fp)
+    fresh = w.join(
+        seen_fingerprints.select(F.col("fingerprint").alias("_fp")), "_fp", "left_anti"
+    )
+    keep = fresh.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    return fresh.join(keep, ["_fp", "doc_id"], "inner").drop("_fp")
+
+
 def shingles_expr(text: Column, n: int = 5) -> Column:
     """Distinct word n-gram shingles as an array of strings."""
     tokens = words_expr(text)

@@ -189,6 +189,43 @@ SELECT c.doc_id, c.lang, c.source FROM corpus c JOIN keep USING (doc_id)
 """
 
 
+_SEEN_MOD = 250
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: docs with id < 250 stand in for the
+    historical fingerprint store; the planted-duplicate corpus is the
+    incoming batch. Survivors = batch docs unseen in history, deduped
+    within the batch (min id wins)."""
+    from clearcare_data_pipeline_spark.operators.dedup import incremental_exact_dedup
+    from clearcare_data_pipeline_spark.operators.textstats import fingerprint_expr
+
+    docs = _docs(spark, sf_dir)
+    seen = (
+        docs.where(F.col("doc_id") < _SEEN_MOD)
+        .select(fingerprint_expr(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    batch = corpus_exact_dups(spark, sf_dir)
+    return incremental_exact_dedup(batch, seen).select("doc_id", "lang", "source")
+
+
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_INCR_DEDUP_ORACLE = f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL}),
+seen AS (
+  SELECT DISTINCT {_FP_SQL} AS fingerprint FROM documents WHERE doc_id < {_SEEN_MOD}
+),
+fp AS (SELECT c.*, {_FP_SQL} AS f FROM corpus c),
+fresh AS (
+  SELECT * FROM fp WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fingerprint = fp.f)
+),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fresh GROUP BY f)
+SELECT fr.doc_id, fr.lang, fr.source FROM fresh fr JOIN keep USING (f, doc_id)
+"""
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (J >= 0.7), restricted to
     MinHash-LSH candidates — the plan that survives hub shingles at
@@ -323,6 +360,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_dup_groups": q_doc_dup_groups,
     "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
@@ -334,6 +372,7 @@ ORACLES = {
     "doc_stats": _doc_stats_oracle(),
     "doc_dup_groups": _DUP_GROUPS_ORACLE,
     "doc_exact_dedup": _EXACT_DEDUP_ORACLE,
+    "doc_incremental_dedup": _INCR_DEDUP_ORACLE,
     "doc_ngram_jaccard": _JACCARD_ORACLE,
     "doc_minhash_lsh": _MINHASH_ORACLE,
     "doc_simhash": _SIMHASH_ORACLE,

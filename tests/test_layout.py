@@ -53,3 +53,20 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert len(files) == n
     assert len(files) < 5
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    # Hive-style partition columns are the third pruning axis (beyond
+    # file ranges and row-group stats): a partition filter must appear
+    # in the scan so non-matching directories are never listed.
+    out = str(tmp_path / "by_flag")
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem")
+    li.write.partitionBy("l_returnflag").parquet(out)
+    df = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "l_returnflag" in pf[0]
+    assert df.count() == li.where(F.col("l_returnflag") == "R").count()
