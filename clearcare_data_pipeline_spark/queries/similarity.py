@@ -277,3 +277,38 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= {_TOPK}
 
 QUERIES["emb_ivf_topk_nprobe2"] = q_emb_ivf_topk_nprobe2
 ORACLES["emb_ivf_topk_nprobe2"] = _IVF_NPROBE_ORACLE
+
+
+# --- int8 quantization error stats ---------------------------------------
+
+from clearcare_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    quantization_error_stats,
+)
+
+
+def q_emb_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantization_error_stats(_emb(spark, sf_dir))
+
+
+_QUANT_ORACLE = f"""
+WITH base AS (
+  SELECT label, dv,
+    CASE WHEN list_max(list_transform(dv, x -> abs(x))) / 127.0 > 0
+         THEN list_max(list_transform(dv, x -> abs(x))) / 127.0 ELSE 1.0 END AS qscale
+  FROM (SELECT label, {_DV} AS dv FROM embeddings)
+),
+per_vec AS (
+  SELECT label, qscale,
+    list_max(list_transform(range(1, len(dv) + 1),
+      i -> abs(floor(dv[i] / qscale + 0.5) * qscale - dv[i]))) AS max_abs_err
+  FROM base
+)
+SELECT label, count(*) AS n,
+  round(max(max_abs_err), 6) AS max_abs_err,
+  round(min(qscale), 6) AS min_scale,
+  round(max(qscale), 6) AS max_scale
+FROM per_vec GROUP BY label
+"""
+
+QUERIES["emb_quantization_stats"] = q_emb_quantization_stats
+ORACLES["emb_quantization_stats"] = _QUANT_ORACLE
