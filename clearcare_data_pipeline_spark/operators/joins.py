@@ -1,0 +1,107 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+Both are re-expressed as compositions of existing DataFrame ops
+(keyed equi-join + predicate + dedup window), so Catalyst plans them
+as ordinary hash/sort-merge joins keyed on the equality columns — the
+temporal predicate rides along as a post-join filter, and the join is
+co-located when both sides are pre-partitioned on the key. No UDFs,
+no per-partition imperative logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, the single closest right row by timestamp.
+
+    ``on``: (left_col, right_col) equality pairs. ``direction``:
+    'backward' matches the latest right_ts <= left_ts, 'forward' the
+    earliest right_ts >= left_ts. ``tolerance``: optional max interval
+    column/literal (e.g. ``F.expr("INTERVAL 7 DAYS")``). ``how`` in
+    {'inner', 'left'} — 'left' keeps unmatched left rows with NULLs.
+
+    Plan shape: equi-join on the keys, temporal predicate as filter,
+    then a row_number window keyed by the left row to keep the single
+    nearest match (ties broken by all right columns descending /
+    ascending for determinism only when right_ts ties — callers
+    needing total determinism should pass a unique right_ts or dedup
+    the right side first).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    cond = None
+    for lc, rc in on:
+        c = left[lc] == right[rc]
+        cond = c if cond is None else (cond & c)
+    temporal = rt <= lt if direction == "backward" else rt >= lt
+    cond = temporal if cond is None else (cond & temporal)
+    if tolerance is not None:
+        bound = (lt - tolerance <= rt) if direction == "backward" else (rt <= lt + tolerance)
+        cond = cond & bound
+
+    # Output = left columns + right's non-key columns. Right-side key
+    # columns are redundant (equal by construction); any OTHER name
+    # collision is ambiguous and rejected rather than silently renamed.
+    r_keys = {rc for _, rc in on}
+    r_cols = [c for c in right.columns if c not in r_keys]
+    collisions = set(r_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(f"rename right-side columns colliding with left: {sorted(collisions)}")
+
+    lid = "_asof_lid"
+    lkeyed = left.withColumn(lid, F.monotonically_increasing_id())
+    joined = lkeyed.join(right, cond, "inner").select(
+        *[lkeyed[c] for c in lkeyed.columns], *[right[c] for c in r_cols]
+    )
+    order = [F.desc(right_ts)] if direction == "backward" else [F.asc(right_ts)]
+    w = Window.partitionBy(lid).orderBy(*order)
+    best = joined.withColumn("_asof_rn", F.row_number().over(w)).where(
+        F.col("_asof_rn") == 1
+    ).drop("_asof_rn")
+    if how == "left":
+        missing = lkeyed.join(best.select(lid), lid, "left_anti")
+        for c in r_cols:
+            missing = missing.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+        best = best.unionByName(missing.select(*best.columns))
+    return best.drop(lid)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[tuple[str, str]],
+    point: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to the right intervals containing its point:
+    equality on ``on`` pairs plus ``lower <= point < upper`` (half-open,
+    matching Spark's own window semantics). The equality keys carry the
+    shuffle; skewless interval containment stays a cheap post-join
+    filter. For key-free interval joins, bucket the point and interval
+    endpoints to a common grid first — never cross-join raw."""
+    cond = None
+    for lc, rc in on:
+        c = left[lc] == right[rc]
+        cond = c if cond is None else (cond & c)
+    containment = (right[lower] <= left[point]) & (left[point] < right[upper])
+    cond = containment if cond is None else (cond & containment)
+    return left.join(right, cond, how)

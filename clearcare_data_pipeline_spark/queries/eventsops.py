@@ -277,8 +277,46 @@ GROUP BY 1, 2
 """.format(EV=_EVQ)
 
 
+# --- range join: events into their containing sessions -------------------
+
+
+def q_events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join (operators/joins.py) each raw event into the
+    gap-session interval containing it, then count per session —
+    the generic interval-containment pattern, keyed on user so the
+    equality column carries the shuffle."""
+    from clearcare_data_pipeline_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = q_events_sessionization(spark, sf_dir).select(
+        F.col("user_id").alias("s_user"), "session_start", "session_end"
+    )
+    joined = range_join(
+        ev,
+        sessions,
+        on=[("user_id", "s_user")],
+        point="ts",
+        lower="session_start",
+        upper="session_end",
+    )
+    return joined.groupBy(
+        F.col("s_user").alias("user_id"), "session_start"
+    ).agg(F.count(F.lit(1)).alias("n_in_range"))
+
+
+_IN_SESSIONS_ORACLE = """
+WITH sessions AS ({SESSIONS})
+SELECT s.user_id, s.session_start, count(*) AS n_in_range
+FROM sessions s JOIN {EV} e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts < s.session_end
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_in_sessions": q_events_in_sessions,
     "events_retention": q_events_retention,
     "events_tumbling_hourly": q_events_tumbling_hourly,
     "events_sliding_windows": q_events_sliding_windows,
@@ -289,6 +327,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_ORACLE,
+    "events_in_sessions": _IN_SESSIONS_ORACLE.format(SESSIONS=_SESSION_ORACLE, EV=_EVQ),
     "events_retention": _RETENTION_ORACLE,
     "events_tumbling_hourly": _TUMBLING_ORACLE,
     "events_sliding_windows": _SLIDING_ORACLE,
