@@ -289,6 +289,43 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+# --- MERGE-style upsert (operators/merge.py) ------------------------------
+
+
+def q_merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert: a stale target (orders minus every 3rd key) merged
+    with an update batch (every even key, repriced, status 'U') —
+    update rows win wholesale, unmatched rows pass through/insert."""
+    from clearcare_data_pipeline_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 3 != 0)
+    updates = (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1).cast("double"))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return merge_upsert(target, updates, ["o_orderkey"])
+
+
+_MERGE_ORACLE = """
+WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+"""
+
+
 # --- skew-safe exact distinct count (operators/skew.py) ------------------
 
 
@@ -316,10 +353,12 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "salted_distinct_suppliers": q_salted_distinct_suppliers,
+    "merge_orders_upsert": q_merge_orders_upsert,
 }
 
 ORACLES = {
     "salted_distinct_suppliers": _SALTED_DISTINCT_ORACLE,
+    "merge_orders_upsert": _MERGE_ORACLE,
     "q8_market_share": _Q8_ORACLE,
     "q9_nation_profit": _Q9_ORACLE,
     "q10_returned_item_customers": _Q10_ORACLE,
