@@ -195,6 +195,38 @@ SELECT doc_id, {pii_mask_sql('text')} AS text FROM corpus
 """
 
 
+# --- deterministic train/eval split ---------------------------------------
+
+
+def q_doc_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/10 split: membership is a pure function of
+    doc_id (md5 hex buckets), so it survives re-runs, re-partitioning,
+    and engine changes — the property rand()-based splits lack."""
+    from clearcare_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", train_pct=90)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _split_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_sql
+
+    return f"""
+SELECT CASE WHEN {hash_bucket_sql('doc_id')} < 90 THEN 'train' ELSE 'eval' END AS split,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(doc_id) AS min_doc,
+  max(doc_id) AS max_doc
+FROM documents GROUP BY 1
+"""
+
+
 # --- training-data selection (the composite corpus-prep flow) ------------
 
 _SEL_QUALITY = 0.3
@@ -259,6 +291,7 @@ WHERE cum_tokens <= {_SEL_BUDGET}
 
 
 QUERIES = {
+    "doc_train_eval_split": q_doc_train_eval_split,
     "doc_chunks": q_doc_chunks,
     "doc_pii_masked": q_doc_pii_masked,
     "doc_training_selection": q_doc_training_selection,
@@ -268,6 +301,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_train_eval_split": _split_oracle(),
     "doc_chunks": _CHUNKS_ORACLE,
     "doc_pii_masked": _pii_oracle(),
     "doc_training_selection": _training_selection_oracle(),

@@ -49,3 +49,26 @@ def test_mask_pii_patterns(spark):
     assert "<PHONE>" in got[2]
     assert got[3] == "ssn <ID> on file"
     assert got[4] == "nothing sensitive here"
+
+
+def test_hash_split_is_stable_and_roughly_proportional(spark):
+    from clearcare_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b  # membership is partitioning-independent
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.85 < train / len(a) < 0.95
+
+
+def test_stratified_sample_proportions(spark):
+    from clearcare_data_pipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = stratified_sample(df, "s", {"true": 0.5, "false": 0.1})
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert 800 < got["true"] < 1200
+    assert 100 < got["false"] < 320
