@@ -23,10 +23,11 @@ def all_queries() -> dict[str, QueryFn]:
         textops2,
         tpch_extra,
         tpch_extra2,
+        tpch_extra3,
     )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, tpch_extra, tpch_extra2, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
+    for mod in (relational, tpch_extra, tpch_extra2, tpch_extra3, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
         out.update(mod.QUERIES)
     return out
 
@@ -44,9 +45,10 @@ def all_oracles() -> dict[str, str]:
         textops2,
         tpch_extra,
         tpch_extra2,
+        tpch_extra3,
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, tpch_extra, tpch_extra2, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
+    for mod in (relational, tpch_extra, tpch_extra2, tpch_extra3, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
         out.update(mod.ORACLES)
     return out

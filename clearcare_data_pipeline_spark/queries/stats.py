@@ -195,7 +195,52 @@ def _profile_oracle() -> str:
     return profile_sql("lineitem", _PROFILE_NUM, _PROFILE_STR)
 
 
+def q_dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over lineitem (operators/quality.py):
+    five row checks in one aggregation pass plus a key-uniqueness
+    check. The (l_orderkey, l_linenumber) key is intentionally one the
+    synthetic data violates, so the report exercises a failing row."""
+    from clearcare_data_pipeline_spark.operators.quality import quality_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = {
+        "quantity_in_range": F.col("l_quantity").between(1, 50),
+        "discount_in_range": F.col("l_discount").between(0.0, 0.1),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "returnflag_in_set": F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+    }
+    return quality_report(li, checks, unique_keys=[["l_orderkey", "l_linenumber"]])
+
+
+def _dq_check_sql(name: str, pred: str) -> str:
+    return (
+        f"SELECT '{name}' AS check_name, count(*) AS n_rows, "
+        f"count(*) FILTER (WHERE NOT coalesce({pred}, FALSE)) AS n_violations, "
+        f"count(*) FILTER (WHERE NOT coalesce({pred}, FALSE)) = 0 AS passed FROM lineitem"
+    )
+
+
+_DQ_ORACLE = " UNION ALL ".join(
+    [
+        _dq_check_sql("quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
+        _dq_check_sql("discount_in_range", "l_discount BETWEEN 0.0 AND 0.1"),
+        _dq_check_sql("price_positive", "l_extendedprice > 0"),
+        _dq_check_sql("returnflag_in_set", "l_returnflag IN ('A','N','R')"),
+        _dq_check_sql("shipdate_present", "l_shipdate IS NOT NULL"),
+        (
+            "SELECT 'unique_l_orderkey_l_linenumber' AS check_name, "
+            "CAST(sum(_n) AS BIGINT) AS n_rows, "
+            "CAST(sum(_n) - count(*) AS BIGINT) AS n_violations, "
+            "sum(_n) = count(*) AS passed FROM "
+            "(SELECT count(*) AS _n FROM lineitem GROUP BY l_orderkey, l_linenumber)"
+        ),
+    ]
+)
+
+
 QUERIES = {
+    "dq_lineitem_report": q_dq_lineitem_report,
     "lineitem_profile": q_lineitem_profile,
     "lineitem_stats": q_lineitem_stats,
     "trailing_30d_spend": q_trailing_30d_spend,
@@ -205,6 +250,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_lineitem_report": _DQ_ORACLE,
     "lineitem_profile": _profile_oracle(),
     "lineitem_stats": _STATS_ORACLE,
     "trailing_30d_spend": _TRAILING_ORACLE,
