@@ -1,0 +1,138 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns.
+
+Spark-first shape — the same one MLlib's KMeans uses under the hood:
+centroids live on the driver (k x dim scalars, trivially small), each
+iteration broadcasts them into the plan as ONE constant
+array-of-arrays literal and computes assignments with a runtime
+``transform`` loop (never k unrolled aggregate trees — see
+operators/similarity.py's codegen note), then recomputes centroids
+with a single groupBy(cluster) aggregation of per-dimension sums.
+
+Per iteration at 100 TB: one full scan + one keyed shuffle whose
+payload is k x dim partial sums per map task — the minimum for exact
+Lloyd's. The driver round-trip per iteration is k x dim doubles.
+
+Determinism (required by the DuckDB oracle twin):
+- init = embeddings of the k smallest ids (no RNG);
+- argmin tie-breaks on (distance, cluster);
+- per-dimension means go through DECIMAL sums so partial-agg order
+  cannot change the double result across engines;
+- empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.similarity import as_double_vec
+
+_SUM_DEC = "decimal(27,10)"
+
+
+def _dists_expr(dvec: Column, centroids: list[list[float]]) -> Column:
+    cent_lit = F.array(*[F.array(*[F.lit(float(w)) for w in c]) for c in centroids])
+    return F.transform(
+        cent_lit,
+        lambda cv: F.aggregate(
+            F.zip_with(dvec, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def assign_expr(dvec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid index with deterministic (distance, index)
+    tie-break: array_min over (dist, idx) structs."""
+    pairs = F.transform(
+        _dists_expr(dvec, centroids),
+        lambda d, i: F.struct(d.alias("dist"), i.alias("cluster")),
+    )
+    return F.array_min(pairs).getField("cluster")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame]:
+    """Run ``iters`` Lloyd's iterations; returns (centroids,
+    assignments DataFrame(id_col, cluster))."""
+    d = df.select(id_col, as_double_vec(F.col(vec_col)).alias("dvec")).persist()
+    try:
+        init_rows = d.orderBy(id_col).limit(k).collect()
+        centroids = [list(r.dvec) for r in init_rows]
+        dim = len(centroids[0])
+        for _ in range(iters):
+            assigned = d.withColumn("cluster", assign_expr(F.col("dvec"), centroids))
+            stats = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        (
+                            F.sum(F.element_at("dvec", i + 1).cast(_SUM_DEC)).cast("double")
+                            / F.count(F.lit(1))
+                        ).alias(f"m{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            means = {r.cluster: [r[f"m{i}"] for i in range(dim)] for r in stats}
+            centroids = [means.get(c, centroids[c]) for c in range(k)]
+        final = d.withColumn("cluster", assign_expr(F.col("dvec"), centroids)).select(
+            id_col, "cluster"
+        )
+        return centroids, final
+    finally:
+        d.unpersist()
+
+
+def kmeans_oracle_sql(table: str, vec_col: str, id_col: str, k: int, iters: int) -> str:
+    """DuckDB twin of ``kmeans_fit`` for the correctness gate: the
+    same deterministic iterations as chained CTEs (assignment via a
+    row_number window over the e-x-centroid distance cross join,
+    centroid update via unnest + decimal-summed per-dimension means,
+    empty clusters inheriting the previous centroid)."""
+    dist = (
+        "list_reduce(list_transform(range(1, len(e.dvec) + 1), "
+        "i -> (e.dvec[i] - c.cvec[i]) * (e.dvec[i] - c.cvec[i])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"e AS (SELECT {id_col} AS vid, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS dvec FROM {table})",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cluster, "
+        f"dvec AS cvec FROM e ORDER BY vid LIMIT {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT vid, cluster FROM ("
+            f"SELECT e.vid, c.cluster, row_number() OVER "
+            f"(PARTITION BY e.vid ORDER BY {dist}, c.cluster) AS rn "
+            f"FROM e CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{it} AS (SELECT cluster, dim, "
+            f"CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m "
+            f"FROM (SELECT a.cluster, generate_subscripts(e.dvec, 1) AS dim, "
+            f"unnest(e.dvec) AS v FROM a{it} a JOIN e ON a.vid = e.vid) "
+            f"GROUP BY cluster, dim)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT p.cluster, coalesce(n.cvec, p.cvec) AS cvec "
+            f"FROM {prev} p LEFT JOIN (SELECT cluster, list(m ORDER BY dim) AS cvec "
+            f"FROM m{it} GROUP BY cluster) n ON p.cluster = n.cluster)"
+        )
+        prev = f"c{it}"
+    final = (
+        f"SELECT vid AS {id_col}, cluster FROM ("
+        f"SELECT e.vid, c.cluster, row_number() OVER "
+        f"(PARTITION BY e.vid ORDER BY {dist}, c.cluster) AS rn "
+        f"FROM e CROSS JOIN {prev} c) WHERE rn = 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -312,3 +312,31 @@ FROM per_vec GROUP BY label
 
 QUERIES["emb_quantization_stats"] = q_emb_quantization_stats
 ORACLES["emb_quantization_stats"] = _QUANT_ORACLE
+
+
+# --- k-means clustering (operators/clustering.py) ----------------------
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+
+
+def q_emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means assignments (k=4, 3 iterations,
+    first-k init) — full per-vector cluster labels, verified against a
+    DuckDB twin that replays the identical iterations as chained CTEs."""
+    from clearcare_data_pipeline_spark.operators.clustering import kmeans_fit
+
+    _cents, assigned = kmeans_fit(
+        _emb(spark, sf_dir), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    return assigned
+
+
+def _kmeans_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.clustering import kmeans_oracle_sql
+
+    return kmeans_oracle_sql("embeddings", "embedding", "vec_id", _KMEANS_K, _KMEANS_ITERS)
+
+
+QUERIES["emb_kmeans_clusters"] = q_emb_kmeans_clusters
+ORACLES["emb_kmeans_clusters"] = _kmeans_oracle()
