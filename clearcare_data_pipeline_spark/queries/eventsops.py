@@ -314,7 +314,70 @@ GROUP BY 1, 2
 """
 
 
+
+
+# --- rate anomaly: z-score of 10-minute buckets vs the type's norm -------
+
+_ANOM_Z = 2.5
+
+
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buckets whose event rate deviates > 2.5 sigma from that type's
+    mean rate. Two keyed aggregations (bucket counts, then per-type
+    moments over those counts) and a broadcast join back — counts are
+    exact integers, so mean/variance derive from exact sums and the
+    doubles match the oracle bit-for-bit as long as the expression
+    shape is mirrored. At scale the bucket-count relation is tiny
+    (types x time buckets), so the stats join broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_buckets")
+    var = F.col("ss").cast("double") / F.col("n_buckets") - mean * mean
+    enriched = counts.join(F.broadcast(stats), "event_type").withColumn(
+        "z",
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    )
+    return enriched.where(
+        (F.col("ss").cast("double") / F.col("n_buckets") - mean * mean > 0)
+        & (F.abs(F.col("z")) > _ANOM_Z)
+    ).select("event_type", "bucket", "n", F.round("z", 6).alias("z"))
+
+
+_ANOM_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS bucket,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n_buckets,
+         CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.bucket, c.n,
+       round((CAST(c.n AS DOUBLE) - CAST(s AS DOUBLE) / n_buckets)
+             / sqrt(CAST(ss AS DOUBLE) / n_buckets
+                    - (CAST(s AS DOUBLE) / n_buckets) * (CAST(s AS DOUBLE) / n_buckets)), 6) AS z
+FROM counts c JOIN stats t ON c.event_type = t.event_type
+WHERE CAST(ss AS DOUBLE) / n_buckets
+      - (CAST(s AS DOUBLE) / n_buckets) * (CAST(s AS DOUBLE) / n_buckets) > 0
+  AND abs((CAST(c.n AS DOUBLE) - CAST(s AS DOUBLE) / n_buckets)
+          / sqrt(CAST(ss AS DOUBLE) / n_buckets
+                 - (CAST(s AS DOUBLE) / n_buckets) * (CAST(s AS DOUBLE) / n_buckets))) > {_ANOM_Z}
+"""
+
+
 QUERIES = {
+    "events_rate_anomaly": q_events_rate_anomaly,
     "events_funnel": q_events_funnel,
     "events_in_sessions": q_events_in_sessions,
     "events_retention": q_events_retention,
@@ -326,6 +389,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rate_anomaly": _ANOM_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
     "events_in_sessions": _IN_SESSIONS_ORACLE.format(SESSIONS=_SESSION_ORACLE, EV=_EVQ),
     "events_retention": _RETENTION_ORACLE,

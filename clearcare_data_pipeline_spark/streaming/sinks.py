@@ -1,0 +1,89 @@
+"""Streaming upsert sink: foreachBatch + MERGE + snapshot commits.
+
+Structured Streaming has no built-in keyed-upsert file sink, so this
+implements the standard pattern: each micro-batch MERGEs (operators/
+merge.py) into the current table snapshot and commits a NEW snapshot
+directory, then atomically swings a pointer file — a minimal version
+of the Delta/Iceberg commit protocol (write-new, atomic pointer swap,
+never mutate a live file). Readers resolve the pointer and only ever
+see a fully-written snapshot.
+
+Scale notes: the per-batch cost is one keyed full-outer join
+(co-locatable, broadcastable when the batch is small relative to the
+table) plus a full snapshot rewrite. Snapshot rewrite is the honest
+cost of upsert-on-parquet without a table format; a production
+deployment bounds it by partitioning the snapshot on a key prefix and
+rewriting only partitions containing touched keys. foreachBatch gives
+exactly-once table state under retries: batch replays MERGE the same
+rows and the pointer swap is idempotent per batch id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from clearcare_data_pipeline_spark.operators.merge import merge_upsert
+
+_POINTER = "_CURRENT"
+
+
+def read_merge_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Resolve the pointer file to the live snapshot; None before the
+    first commit."""
+    pointer = os.path.join(target_dir, _POINTER)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        snap = fh.read().strip()
+    return spark.read.parquet(os.path.join(target_dir, snap))
+
+
+def _commit_snapshot(target_dir: str, snap_name: str) -> None:
+    pointer = os.path.join(target_dir, _POINTER)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(snap_name)
+    os.replace(tmp, pointer)  # atomic on POSIX
+
+
+def stream_merge_sink(
+    stream_df: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str | None = None,
+) -> StreamingQuery:
+    """Start an availableNow streaming query that upserts each
+    micro-batch into the snapshot table at ``target_dir``.
+
+    ``order_col``: within-batch last-wins ordering (e.g. an event
+    timestamp); without it the batch must already be unique per key.
+    """
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        updates = batch_df
+        if order_col is not None:
+            others = [c for c in updates.columns if c not in keys]
+            updates = (
+                updates.groupBy(*keys)
+                .agg(*[F.max_by(c, order_col).alias(c) for c in others])
+                .select(*batch_df.columns)
+            )
+        target = read_merge_target(spark, target_dir)
+        merged = updates if target is None else merge_upsert(target, updates, keys)
+        snap_name = f"snap_{batch_id:012d}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_dir, snap_name))
+        _commit_snapshot(target_dir, snap_name)
+
+    os.makedirs(target_dir, exist_ok=True)
+    return (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -124,3 +124,65 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ("a1", "2024-01-01 10:00:00", "2024-01-01 10:03:00"),
         ("a1", "2024-01-01 10:10:00", "2024-01-01 10:11:00"),
     ]
+
+
+def test_stream_merge_sink_upserts_across_batches(spark, tmp_path):
+    import json as j
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from clearcare_data_pipeline_spark.streaming.sinks import (
+        read_merge_target,
+        stream_merge_sink,
+    )
+
+    inp = tmp_path / "min"
+    inp.mkdir()
+    target, chk = str(tmp_path / "mtarget"), str(tmp_path / "mchk")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    # batch 1: two keys; batch 2: update k=1 (two versions, last-wins by ts) + insert k=3
+    (inp / "b1.json").write_text(
+        "\n".join(
+            j.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2024-01-01 00:00:01", "v": 1.0},
+                {"k": 2, "ts": "2024-01-01 00:00:02", "v": 2.0},
+            ]
+        )
+    )
+    (inp / "b2.json").write_text(
+        "\n".join(
+            j.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2024-01-01 00:01:00", "v": 10.0},
+                {"k": 1, "ts": "2024-01-01 00:02:00", "v": 11.0},
+                {"k": 3, "ts": "2024-01-01 00:01:30", "v": 3.0},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(inp))
+    )
+    q = stream_merge_sink(stream, target, ["k"], chk, order_col="ts")
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in read_merge_target(spark, target).collect()}
+    assert got == {1: 11.0, 2: 2.0, 3: 3.0}
+    # a second availableNow run with no new files must not disturb the table
+    q2 = stream_merge_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp)),
+        target,
+        ["k"],
+        chk,
+        order_col="ts",
+    )
+    q2.awaitTermination(120)
+    got2 = {r.k: r.v for r in read_merge_target(spark, target).collect()}
+    assert got2 == got
