@@ -376,7 +376,72 @@ WHERE CAST(ss AS DOUBLE) / n_buckets
 """
 
 
+
+
+# --- Markov transition counts over per-user event sequences --------------
+
+
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts: lag(event_type) per user
+    ordered by (ts, event_id), then a keyed count per (prev, cur)
+    bigram. One window shuffle on user_id + one small agg — the plan a
+    sequence model's data prep wants at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("cur_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "cur_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS cur_type
+  FROM events
+)
+SELECT prev_type, cur_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, cur_type
+"""
+
+
+# --- weighted moving average over each user's value series ---------------
+
+
+def q_events_value_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-tap weighted moving average (0.5/0.3/0.2) of event values per
+    user — expressed as two lags and a fixed-order arithmetic
+    expression, so the doubles are bit-identical to the SQL twin.
+    Restricted to purchase events to keep the verified output focused."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2 = F.lag("value", 1).over(w), F.lag("value", 2).over(w)
+    wma = F.col("value") * 0.5 + l1 * 0.3 + l2 * 0.2
+    return (
+        ev.select("user_id", "event_id", "value", wma.alias("wma"))
+        .where(F.col("wma").isNotNull())
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), F.round("wma", 6).alias("wma"))
+    )
+
+
+_WMA_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+seq AS (
+  SELECT user_id, event_id, value,
+         value * 0.5 + lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) * 0.3
+                     + lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) * 0.2 AS wma
+  FROM p
+)
+SELECT user_id, event_id, round(value, 6) AS value, round(wma, 6) AS wma
+FROM seq WHERE wma IS NOT NULL
+"""
+
+
 QUERIES = {
+    "events_type_transitions": q_events_type_transitions,
+    "events_value_wma": q_events_value_wma,
     "events_rate_anomaly": q_events_rate_anomaly,
     "events_funnel": q_events_funnel,
     "events_in_sessions": q_events_in_sessions,
@@ -389,6 +454,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_type_transitions": _TRANSITIONS_ORACLE,
+    "events_value_wma": _WMA_ORACLE,
     "events_rate_anomaly": _ANOM_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
     "events_in_sessions": _IN_SESSIONS_ORACLE.format(SESSIONS=_SESSION_ORACLE, EV=_EVQ),

@@ -239,7 +239,45 @@ _DQ_ORACLE = " UNION ALL ".join(
 )
 
 
+
+
+# --- fixed-width histogram ----------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 120000.0, 24
+
+
+def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extendedprice: bucket index computed
+    with an explicit floor expression (identical text in the oracle —
+    width_bucket() exists in Spark but not DuckDB), out-of-range rows
+    clamped into the edge buckets. One scan, one tiny keyed agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
+    raw = F.floor((F.col("l_extendedprice") - F.lit(_HIST_LO)) / F.lit(w)).cast("long")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(_HIST_BUCKETS - 1))
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.round(F.col("bucket") * w + _HIST_LO, 6))
+        .withColumn("hi", F.round((F.col("bucket") + 1) * w + _HIST_LO, 6))
+    )
+
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT least(greatest(CAST(floor((l_extendedprice - {_HIST_LO}) / {(_HIST_HI - _HIST_LO) / _HIST_BUCKETS}) AS BIGINT), 0), {_HIST_BUCKETS - 1}) AS bucket
+  FROM lineitem
+)
+SELECT bucket, count(*) AS n,
+       round(bucket * {(_HIST_HI - _HIST_LO) / _HIST_BUCKETS} + {_HIST_LO}, 6) AS lo,
+       round((bucket + 1) * {(_HIST_HI - _HIST_LO) / _HIST_BUCKETS} + {_HIST_LO}, 6) AS hi
+FROM b GROUP BY bucket
+"""
+
+
 QUERIES = {
+    "lineitem_price_histogram": q_lineitem_price_histogram,
     "dq_lineitem_report": q_dq_lineitem_report,
     "lineitem_profile": q_lineitem_profile,
     "lineitem_stats": q_lineitem_stats,
@@ -250,6 +288,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_price_histogram": _HIST_ORACLE,
     "dq_lineitem_report": _DQ_ORACLE,
     "lineitem_profile": _profile_oracle(),
     "lineitem_stats": _STATS_ORACLE,
