@@ -263,3 +263,55 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    max_df: int = 50,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination: find eval docs sharing word n-gram
+    shingles with any train doc (the standard exact-overlap
+    contamination check run before training on a new corpus).
+
+    Plan shape at 100 TB: shingle both corpora (explode), hash each
+    shingle to a 64-bit key (xxhash64 — joins move 8-byte keys, not
+    strings), CAP SHINGLE DOCUMENT FREQUENCY over the union corpus
+    before joining (a boilerplate shingle appearing in millions of
+    docs would otherwise make the equi-join quadratic in its posting
+    list — the same hub blowup jaccard_pairs guards against), then one
+    keyed join + one (eval, train) count agg. ``max_df`` trades recall
+    on extremely common passages for a bounded join; contaminated
+    pairs share rare shingles overwhelmingly.
+    """
+    t_sh = (
+        doc_shingles(train, id_col, text_col, n)
+        .select(F.col("doc_id").alias("train_doc"), F.xxhash64("shingle").alias("sh"))
+    )
+    e_sh = (
+        doc_shingles(eval_df, id_col, text_col, n)
+        .select(F.col("doc_id").alias("eval_doc"), F.xxhash64("shingle").alias("sh"))
+    )
+    df_counts = (
+        t_sh.select(F.col("train_doc").alias("d"), "sh")
+        .unionByName(e_sh.select(F.col("eval_doc").alias("d"), "sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("sh")
+    )
+    shared = (
+        e_sh.join(df_counts, "sh")
+        .join(t_sh, "sh")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return shared.groupBy("eval_doc").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.max("n_shared").alias("max_shared_shingles"),
+    )

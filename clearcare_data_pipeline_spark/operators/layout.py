@@ -17,18 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_range_layout(
-    df: DataFrame, path: str, sort_cols: list[str], num_files: int
+    df: DataFrame, path: str, sort_cols: list[str], num_files: int,
+    file_format: str = "parquet",
 ) -> None:
-    """Write parquet clustered by ``sort_cols``: repartitionByRange
+    """Write a dataset clustered by ``sort_cols``: repartitionByRange
     gives each output file a disjoint key range (range-sampled
     boundaries), sortWithinPartitions orders rows inside each file so
     row-group stats are tight too. Scans filtering on the sort key
-    then skip entire files on footer min/max."""
+    then skip entire files on footer min/max. ``file_format`` may be
+    any columnar format with footer stats (parquet, orc)."""
     (
         df.repartitionByRange(num_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
-        .parquet(path)
+        .format(file_format)
+        .save(path)
     )
 
 
@@ -36,18 +39,23 @@ def dataset_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith((".parquet", ".orc")):
                 total += os.path.getsize(os.path.join(root, f))
     return total
 
 
 def compact_parquet(
-    spark: SparkSession, src: str, dst: str, *, target_file_mb: int = 128
+    spark: SparkSession, src: str, dst: str, *, target_file_mb: int = 128,
+    file_format: str = "parquet",
 ) -> int:
-    """Rewrite a (typically many-tiny-file) parquet dataset into
-    ~target-sized files; returns the output file count. Compaction is
-    the standing maintenance job of any streaming/append pipeline —
-    file count drops from O(batches) to O(bytes/target)."""
+    """Rewrite a (typically many-tiny-file) dataset into ~target-sized
+    files; returns the output file count. Compaction is the standing
+    maintenance job of any streaming/append pipeline — file count
+    drops from O(batches) to O(bytes/target)."""
     n_files = max(1, math.ceil(dataset_bytes(src) / (target_file_mb * 1024 * 1024)))
-    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
+    (
+        spark.read.format(file_format).load(src)
+        .repartition(n_files)
+        .write.mode("overwrite").format(file_format).save(dst)
+    )
     return n_files

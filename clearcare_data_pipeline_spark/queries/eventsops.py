@@ -439,7 +439,38 @@ FROM seq WHERE wma IS NOT NULL
 """
 
 
+
+
+# --- SCD2 validity intervals from the event change stream ----------------
+
+
+def q_events_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (operators/scd2.py): each user's purchase
+    events become validity-interval versions — valid_from/valid_to
+    half-open intervals, a current flag, and a version ordinal."""
+    from clearcare_data_pipeline_spark.operators.scd2 import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = scd2_intervals(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("value"),
+        "valid_from", "valid_to", "is_current", "version",
+    )
+
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, round(value, 6) AS value,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       CAST(row_number() OVER w AS INT) AS version
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
+    "events_scd2_versions": q_events_scd2_versions,
     "events_type_transitions": q_events_type_transitions,
     "events_value_wma": q_events_value_wma,
     "events_rate_anomaly": q_events_rate_anomaly,
@@ -454,6 +485,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_scd2_versions": _SCD2_ORACLE,
     "events_type_transitions": _TRANSITIONS_ORACLE,
     "events_value_wma": _WMA_ORACLE,
     "events_rate_anomaly": _ANOM_ORACLE,

@@ -309,3 +309,141 @@ ORACLES = {
     "doc_near_dup_clusters": _CLUSTERS_ORACLE,
     "quantity_percentiles": _PCT_ORACLE,
 }
+
+
+# --- eval-set decontamination (operators/dedup.py) -----------------------
+
+_DECON_N = 8
+_DECON_MAX_DF = 50
+
+
+def q_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check of the hash-split eval set against the train
+    set: eval docs sharing any rare 8-gram shingle with a train doc.
+    Spark joins on xxhash64 shingle keys (8 bytes over the wire); the
+    oracle joins the strings — identical counts modulo 2^-64 collisions."""
+    from clearcare_data_pipeline_spark.operators.dedup import cross_corpus_contamination
+    from clearcare_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", train_pct=90)
+    train = split.where(F.col("split") == "train").select("doc_id", "text")
+    ev = split.where(F.col("split") == "eval").select("doc_id", "text")
+    return cross_corpus_contamination(
+        train, ev, n=_DECON_N, max_df=_DECON_MAX_DF, min_shared=1
+    )
+
+
+def _decon_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_sql
+
+    words = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+    return f"""
+WITH split_docs AS (
+  SELECT doc_id, text,
+         CASE WHEN {hash_bucket_sql('doc_id')} < 90 THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, split, shingle FROM (
+    SELECT doc_id, split,
+      unnest(list_transform(range(0, greatest(len(w) - {_DECON_N}, 0) + 1),
+             i -> array_to_string(w[i + 1 : i + {_DECON_N}], ' '))) AS shingle
+    FROM (SELECT doc_id, split, {words} AS w FROM split_docs)
+  ) WHERE length(shingle) > 0
+),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_DECON_MAX_DF}),
+shared AS (
+  SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, count(*) AS n_shared
+  FROM (SELECT doc_id, shingle FROM sh WHERE split = 'eval') e
+  JOIN keep USING (shingle)
+  JOIN (SELECT doc_id, shingle FROM sh WHERE split = 'train') t USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT eval_doc, count(*) AS n_train_docs, max(n_shared) AS max_shared_shingles
+FROM shared GROUP BY eval_doc
+"""
+
+
+QUERIES["doc_decontamination"] = q_doc_decontamination
+ORACLES["doc_decontamination"] = _decon_oracle()
+
+
+# --- repetition / diversity quality signals ------------------------------
+
+
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals: type-token ratio,
+    top-word fraction, and duplicate-bigram fraction. Word counts run
+    as explode -> two keyed aggs (shuffle bounded by distinct
+    (doc, word) pairs — never a per-doc O(n^2) scan); bigram stats are
+    pure array expressions. The filter keeps the clearly repetitive
+    tail, which is what a quality gate would drop."""
+    from clearcare_data_pipeline_spark.operators.textstats import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", words_expr(F.col("text")).alias("w"))
+    word_stats = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice("w", i + 1, 2), " "),
+    )
+    bigram_stats = base.where(F.size("w") >= 2).select(
+        "doc_id",
+        (F.size("w") - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    joined = word_stats.join(bigram_stats, "doc_id")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_words")
+    topf = F.col("top_count").cast("double") / F.col("n_words")
+    dupb = F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(topf, 6).alias("top_word_frac"),
+        F.round(dupb, 6).alias("dup_bigram_frac"),
+    ).where((F.col("top_word_frac") > 0.1) | (F.col("dup_bigram_frac") > 0.2))
+
+
+_REPETITION_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0) AS w
+  FROM documents
+),
+word_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_count
+  FROM (SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS word FROM base)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id
+),
+bigram_stats AS (
+  SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+              i -> array_to_string(w[i + 1 : i + 2], ' ')))) AS BIGINT) AS n_distinct_bigrams
+  FROM base WHERE len(w) >= 2
+)
+SELECT doc_id, n_words,
+       round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS type_token_ratio,
+       round(CAST(top_count AS DOUBLE) / n_words, 6) AS top_word_frac,
+       round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
+FROM word_stats JOIN bigram_stats USING (doc_id)
+WHERE round(CAST(top_count AS DOUBLE) / n_words, 6) > 0.1
+   OR round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) > 0.2
+"""
+
+QUERIES["doc_repetition_stats"] = q_doc_repetition_stats
+ORACLES["doc_repetition_stats"] = _REPETITION_ORACLE

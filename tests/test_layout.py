@@ -70,3 +70,38 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "l_returnflag" in pf[0]
     assert df.count() == li.where(F.col("l_returnflag") == "R").count()
+
+
+def test_orc_range_layout_roundtrip(spark, sf_dir, tmp_path):
+    from clearcare_data_pipeline_spark.operators.layout import (
+        compact_parquet,
+        write_range_layout,
+    )
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "orders_orc")
+    write_range_layout(orders, dst, ["o_orderdate"], 4, file_format="orc")
+    back = spark.read.orc(dst)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    # compaction in orc too
+    out = str(tmp_path / "orders_orc_compact")
+    n = compact_parquet(spark, dst, out, target_file_mb=512, file_format="orc")
+    assert n == 1
+    assert spark.read.orc(out).count() == orders.count()
+
+
+def test_text_corpus_reader_stable_ids(spark, tmp_path):
+    from clearcare_data_pipeline_spark.sources.tables import read_text_corpus
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("hello world\n\nsecond doc\n")
+    (p / "b.txt").write_text("third doc\n")
+    docs = read_text_corpus(spark, str(p))
+    rows = docs.collect()
+    assert {r.text for r in rows} == {"hello world", "second doc", "third doc"}
+    # ids deterministic across a second read
+    again = {r.text: r.doc_id for r in read_text_corpus(spark, str(p)).collect()}
+    assert all(again[r.text] == r.doc_id for r in rows)
