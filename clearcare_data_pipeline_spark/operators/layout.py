@@ -59,3 +59,61 @@ def compact_parquet(
         .write.mode("overwrite").format(file_format).save(dst)
     )
     return n_files
+
+
+def normalize_to_bits(col, lo: float, hi: float, bits: int = 16):
+    """Scale a numeric column into [0, 2^bits) for Z-order interleaving."""
+    from pyspark.sql import functions as F
+
+    span = hi - lo
+    scaled = F.floor((col - F.lit(lo)) / F.lit(span) * F.lit((1 << bits) - 1)).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1))
+
+
+def zorder_key_expr(a, b, bits: int = 16):
+    """Morton (Z-order) key of two normalized integer columns: bit i of
+    ``a`` lands at position 2i, bit i of ``b`` at 2i+1. A static unroll
+    of 2*bits bitwise terms — constant-size expression, whole-stage
+    codegen friendly.
+
+    Range-partitioning + sorting by this key clusters files in a 2-D
+    space-filling curve, so scans filtering on EITHER dimension skip
+    files on parquet min/max footers — the multi-column generalization
+    of write_range_layout's 1-D clustering."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    ranges: dict[str, tuple[float, float]],
+    num_files: int,
+    bits: int = 16,
+    file_format: str = "parquet",
+) -> None:
+    """Write the dataset clustered on the Z-order curve of two columns
+    (``ranges`` maps each column to its (lo, hi) normalization span)."""
+    from pyspark.sql import functions as F
+
+    a = normalize_to_bits(F.col(col_a), *ranges[col_a], bits=bits)
+    b = normalize_to_bits(F.col(col_b), *ranges[col_b], bits=bits)
+    keyed = df.withColumn("_zkey", zorder_key_expr(a, b, bits=bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .format(file_format)
+        .save(path)
+    )

@@ -447,3 +447,54 @@ WHERE round(CAST(top_count AS DOUBLE) / n_words, 6) > 0.1
 
 QUERIES["doc_repetition_stats"] = q_doc_repetition_stats
 ORACLES["doc_repetition_stats"] = _REPETITION_ORACLE
+
+
+# --- approximate heavy hitters with an exactness gate --------------------
+
+_HH_SUPPORT = 0.01
+_HH_TOPK = 10
+
+
+def q_doc_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact top-10 words (explode + keyed agg +
+    deterministic (n DESC, word) top-k) cross-checked against Spark's
+    one-pass frequent-items sketch. freqItems guarantees every item
+    with true frequency > support appears in its result, so the
+    ``in_sketch`` column must be uniformly TRUE — the oracle pins it,
+    turning the sketch's guarantee into a hash-checked invariant (same
+    pattern as the HLL / t-digest error gates in queries/stats.py)."""
+    from clearcare_data_pipeline_spark.operators.textstats import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(words_expr(F.col("text"))).alias("word"))
+    total = words.count()
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(_HH_TOPK)
+    )
+    sketch_items = set(
+        words.stat.freqItems(["word"], support=_HH_SUPPORT).collect()[0][0]
+    )
+    in_sketch = F.when(
+        (F.col("n").cast("double") / total > _HH_SUPPORT)
+        & ~F.col("word").isin(*sketch_items),
+        F.lit(False),
+    ).otherwise(F.lit(True))
+    return exact.select("word", "n", in_sketch.alias("in_sketch"))
+
+
+_HH_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> length(t) > 0)) AS word
+  FROM documents
+)
+SELECT word, count(*) AS n, TRUE AS in_sketch
+FROM words GROUP BY word
+ORDER BY n DESC, word LIMIT {_HH_TOPK}
+"""
+
+QUERIES["doc_heavy_hitter_words"] = q_doc_heavy_hitter_words
+ORACLES["doc_heavy_hitter_words"] = _HH_ORACLE

@@ -121,3 +121,45 @@ def stream_dedup_events(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked session-window aggregation per user: events closer
+    than ``gap`` merge into one session; a session emits once the
+    watermark passes its close (append mode). State per in-flight
+    session only — the streaming twin of the batch sessionization
+    query (queries/eventsops.py)."""
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string, value double")
+        .json(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    sessions = (
+        events.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

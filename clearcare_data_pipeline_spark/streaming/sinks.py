@@ -87,3 +87,39 @@ def stream_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def list_snapshots(target_dir: str) -> list[str]:
+    """Committed snapshot names, oldest first (commit order == name
+    order by construction)."""
+    if not os.path.isdir(target_dir):
+        return []
+    return sorted(d for d in os.listdir(target_dir) if d.startswith("snap_"))
+
+
+def read_snapshot(spark: SparkSession, target_dir: str, snapshot: str) -> DataFrame:
+    """Time travel: read a specific committed snapshot by name."""
+    return spark.read.parquet(os.path.join(target_dir, snapshot))
+
+
+def vacuum_snapshots(target_dir: str, keep_last: int = 2) -> list[str]:
+    """Drop all but the newest ``keep_last`` snapshots (never the one
+    the pointer references). Returns the names removed. The pointer is
+    read AFTER computing the candidate list so a concurrent commit can
+    only rescue a snapshot, not lose one."""
+    import shutil
+
+    snaps = list_snapshots(target_dir)
+    candidates = snaps[:-keep_last] if keep_last > 0 else snaps
+    pointer = os.path.join(target_dir, _POINTER)
+    current = None
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            current = fh.read().strip()
+    removed = []
+    for name in candidates:
+        if name == current:
+            continue
+        shutil.rmtree(os.path.join(target_dir, name))
+        removed.append(name)
+    return removed

@@ -105,3 +105,45 @@ def test_text_corpus_reader_stable_ids(spark, tmp_path):
     # ids deterministic across a second read
     again = {r.text: r.doc_id for r in read_text_corpus(spark, str(p)).collect()}
     assert all(again[r.text] == r.doc_id for r in rows)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from clearcare_data_pipeline_spark.operators.layout import zorder_key_expr
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["a", "b"])
+    key = df.select(zorder_key_expr(F.col("a"), F.col("b"), bits=3).alias("z")).collect()[0].z
+    # a bits 1,0,1 -> positions 0,2,4 ; b bits 1,1,0 -> positions 1,3,5
+    # z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
+    assert key == (1 << 0) | (1 << 1) | (0 << 2) | (1 << 3) | (1 << 4) | (0 << 5)
+
+
+def test_zorder_layout_clusters_both_dims(spark, sf_dir, tmp_path):
+    from clearcare_data_pipeline_spark.operators.layout import write_zorder_layout
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dst = str(tmp_path / "li_z")
+    write_zorder_layout(
+        li, dst, "l_partkey", "l_suppkey",
+        ranges={"l_partkey": (0, 2000), "l_suppkey": (0, 100)},
+        num_files=4, bits=8,
+    )
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    # each output file covers a bounded slice of BOTH key spaces:
+    # per-file spans should be far smaller than the global span
+    import pyarrow.parquet as pq
+    import os as _os
+
+    files = [f for f in _os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) >= 2
+    spans_a = []
+    for f in files:
+        md = pq.read_metadata(_os.path.join(dst, f))
+        lo = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_a.append(hi - lo)
+    # at least one file covers a strict subrange (clustering happened)
+    assert min(spans_a) < 2000 * 0.9

@@ -186,3 +186,70 @@ def test_stream_merge_sink_upserts_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.k: r.v for r in read_merge_target(spark, target).collect()}
     assert got2 == got
+
+
+def test_merge_sink_time_travel_and_vacuum(spark, tmp_path):
+    import json as j
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from clearcare_data_pipeline_spark.streaming.sinks import (
+        list_snapshots,
+        read_merge_target,
+        read_snapshot,
+        stream_merge_sink,
+        vacuum_snapshots,
+    )
+
+    inp = tmp_path / "tin"
+    inp.mkdir()
+    target, chk = str(tmp_path / "ttarget"), str(tmp_path / "tchk")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    (inp / "b1.json").write_text(j.dumps({"k": 1, "ts": "2024-01-01 00:00:01", "v": 1.0}))
+    (inp / "b2.json").write_text(j.dumps({"k": 1, "ts": "2024-01-01 00:01:00", "v": 2.0}))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp))
+    q = stream_merge_sink(stream, target, ["k"], chk, order_col="ts")
+    q.awaitTermination(120)
+    snaps = list_snapshots(target)
+    assert len(snaps) == 2
+    # time travel: first snapshot still shows v=1.0
+    assert read_snapshot(spark, target, snaps[0]).collect()[0].v == 1.0
+    assert read_merge_target(spark, target).collect()[0].v == 2.0
+    removed = vacuum_snapshots(target, keep_last=1)
+    assert removed == [snaps[0]]
+    assert read_merge_target(spark, target).collect()[0].v == 2.0
+
+
+def test_stream_session_counts(spark, tmp_path):
+    import json as j
+
+    from clearcare_data_pipeline_spark.streaming.pipeline import stream_session_counts
+
+    inp, out, chk = str(tmp_path / "sin"), str(tmp_path / "sout"), str(tmp_path / "schk")
+    (tmp_path / "sin").mkdir()
+    rows = [
+        # user 1: two events 5 min apart (one session), then a 2h gap (new session)
+        {"user_id": 1, "ts": "2024-01-01 00:00:00", "event_type": "view", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01 00:05:00", "event_type": "click", "value": 2.0},
+        {"user_id": 1, "ts": "2024-01-01 02:00:00", "event_type": "view", "value": 3.0},
+        # user 2: single event
+        {"user_id": 2, "ts": "2024-01-01 00:10:00", "event_type": "view", "value": 4.0},
+        # far-future event advances the watermark so earlier sessions close
+        {"user_id": 9, "ts": "2024-01-02 00:00:00", "event_type": "view", "value": 0.0},
+    ]
+    (tmp_path / "sin" / "e.json").write_text("\n".join(j.dumps(r) for r in rows))
+    q = stream_session_counts(spark, inp, out, chk, gap="30 minutes")
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[(1, "2024-01-01 02:00:00")] == (1, 3.0)
+    assert got[(2, "2024-01-01 00:10:00")] == (1, 4.0)
