@@ -73,3 +73,53 @@ def test_charges_cleaned_scan_is_columnar_parquet(spark, queries):
     # plain splittable parquet scan (not a cached/replayed plan).
     plan = _plan(spark, queries, "charges_cleaned")
     assert "Scan parquet" in plan
+
+
+def test_q11_broadcasts_and_no_cartesian(spark, queries):
+    # Scalar total joins back as a 1-row broadcast, supplier dim broadcast
+    plan = _plan(spark, queries, "q11_important_parts")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_broadcast(spark, queries):
+    plan = _plan(spark, queries, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join(spark, queries):
+    plan = _plan(spark, queries, "q20_excess_stock_suppliers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_no_nested_loop(spark, queries):
+    plan = _plan(spark, queries, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_keyed_joins_only(spark, queries):
+    plan = _plan(spark, queries, "doc_decontamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_report_single_scan_for_row_checks(spark, queries):
+    # Row checks fold into one aggregate over one lineitem scan; the
+    # uniqueness branch adds its own keyed agg — but never a per-check scan.
+    import re
+
+    plan = _plan(spark, queries, "dq_lineitem_report")
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2, plan
+
+
+def test_histogram_prunes_to_single_column(spark, queries):
+    plan = _plan(spark, queries, "lineitem_price_histogram")
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    for line in read_schemas:
+        assert "l_extendedprice" in line
+        assert "l_partkey" not in line
