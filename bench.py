@@ -16,6 +16,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from clearcare_data_pipeline_spark.session import get_spark  # noqa: E402
 
+# Newer operators benched under their own key so the headline total
+# stays comparable across rounds (BASELINE.md / BENCH_r01).
+EXTENDED = [
+    "q21_waiting_suppliers",
+    "rollup_revenue",
+    "dq_lineitem_report",
+    "doc_decontamination",
+    "doc_repetition_stats",
+    "events_rate_anomaly",
+    "emb_kmeans_clusters",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -79,6 +91,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    ext_timings: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in queries:
+            continue
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ext_timings[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -88,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "derivation_sec": derivation_sec,
+                "extended": ext_timings,
+                "extended_total_sec": round(sum(ext_timings.values()), 3),
                 "sf": sf,
             }
         )

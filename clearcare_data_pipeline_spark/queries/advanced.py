@@ -216,7 +216,57 @@ WHERE o.o_totalprice > a.avg_total
 """
 
 
+
+
+# --- distribution-rank window functions ----------------------------------
+
+
+def q_supplier_revenue_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's position in the revenue distribution:
+    percent_rank, cume_dist, and decile (ntile) over one global
+    ordering. The ordered relation is the supplier AGGREGATE (one row
+    per supplier), so the single-partition window ranks a dimension-
+    sized input — never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,4)")
+                * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("revenue", "l_suppkey")
+    return rev.select(
+        "l_suppkey",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+_REV_DIST_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))
+             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, round(revenue, 6) AS revenue,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume_dist,
+  CAST(ntile(10) OVER w AS INT) AS decile
+FROM rev
+WINDOW w AS (ORDER BY revenue, l_suppkey)
+"""
+
+
 QUERIES = {
+    "supplier_revenue_distribution": q_supplier_revenue_distribution,
     "asof_event_order": q_asof_event_order,
     "cube_order_status_priority": q_cube_order_status_priority,
     "supplier_ranks": q_supplier_ranks,
@@ -227,6 +277,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_revenue_distribution": _REV_DIST_ORACLE,
     "asof_event_order": _ASOF_ORACLE,
     "cube_order_status_priority": _CUBE_ORACLE,
     "supplier_ranks": _RANKS_ORACLE,

@@ -110,3 +110,44 @@ def test_wide_regroup_key_is_unique(spark):
     charges = extract_wide(spark, fix).charges
     total = charges.count()
     assert charges.select("code", "code_type", "payer_name", "plan_name").distinct().count() == total
+
+
+# --- merge_upsert invariants ---------------------------------------------
+
+_kv_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8), st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_kv_lists, _kv_lists)
+def test_merge_upsert_invariants(spark, target_rows, update_rows):
+    from clearcare_data_pipeline_spark.operators.merge import merge_upsert
+
+    # unique keys per side (merge's contract)
+    t = {k: v for k, v in target_rows}
+    u = {k: v for k, v in update_rows}
+    target = spark.createDataFrame([(k, v) for k, v in t.items()] or [(None, None)], "k int, v int").where(
+        F.col("k").isNotNull()
+    )
+    updates = spark.createDataFrame([(k, v) for k, v in u.items()] or [(None, None)], "k int, v int").where(
+        F.col("k").isNotNull()
+    )
+    got = {r.k: r.v for r in merge_upsert(target, updates, ["k"]).collect()}
+    expected = {**t, **u}
+    assert got == expected
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40))
+def test_quality_row_check_counts(spark, values):
+    from clearcare_data_pipeline_spark.operators.quality import row_check_report
+
+    df = spark.createDataFrame([(v,) for v in values], "x int")
+    rep = {r.check_name: r for r in row_check_report(df, {"pos": F.col("x") > 0}).collect()}
+    expect_viol = sum(1 for v in values if not v > 0)
+    assert rep["pos"].n_rows == len(values)
+    assert rep["pos"].n_violations == expect_viol
+    assert rep["pos"].passed == (expect_viol == 0)
