@@ -469,7 +469,80 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+
+
+# --- IGNORE NULLS frame navigation ---------------------------------------
+
+
+def q_events_first_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last non-null purchase value per user via IGNORE NULLS
+    first/last over a full-frame ordered window (frame navigation the
+    conditional-aggregate funnel can't express directly)."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = ev.select(
+        "user_id",
+        F.first(pv, ignorenulls=True).over(w).alias("first_purchase"),
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase"),
+    ).distinct()
+    return out.where(F.col("first_purchase").isNotNull()).select(
+        "user_id",
+        F.round("first_purchase", 6).alias("first_purchase"),
+        F.round("last_purchase", 6).alias("last_purchase"),
+    )
+
+
+_FIRST_LAST_ORACLE = """
+SELECT DISTINCT user_id,
+  round(first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        OVER w, 6) AS first_purchase,
+  round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        OVER w, 6) AS last_purchase
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY first_purchase IS NOT NULL
+"""
+
+
+# --- deterministic per-group sampling ------------------------------------
+
+_SAMPLE_K = 3
+
+
+def q_events_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-user event sample: keep each user's K events
+    with the smallest md5(event_id) — a pseudo-random but engine-
+    portable and re-run-stable choice (the per-group analog of the
+    hash_split policy). One keyed window shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("user_id").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SAMPLE_K)
+        .select("user_id", "event_id", "event_type", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+_USER_SAMPLE_ORACLE = f"""
+SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= {_SAMPLE_K}
+"""
+
+
 QUERIES = {
+    "events_first_last_purchase": q_events_first_last_purchase,
+    "events_user_sample": q_events_user_sample,
     "events_scd2_versions": q_events_scd2_versions,
     "events_type_transitions": q_events_type_transitions,
     "events_value_wma": q_events_value_wma,
@@ -485,6 +558,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_first_last_purchase": _FIRST_LAST_ORACLE,
+    "events_user_sample": _USER_SAMPLE_ORACLE,
     "events_scd2_versions": _SCD2_ORACLE,
     "events_type_transitions": _TRANSITIONS_ORACLE,
     "events_value_wma": _WMA_ORACLE,

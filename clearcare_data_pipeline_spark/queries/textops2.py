@@ -498,3 +498,60 @@ ORDER BY n DESC, word LIMIT {_HH_TOPK}
 
 QUERIES["doc_heavy_hitter_words"] = q_doc_heavy_hitter_words
 ORACLES["doc_heavy_hitter_words"] = _HH_ORACLE
+
+
+# --- word co-occurrence (informative mid-frequency vocabulary) -----------
+
+_COOC_DF_LO, _COOC_DF_HI, _COOC_TOPK = 20, 200, 50
+
+
+def q_doc_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-pair co-occurrence counts over mid-document-frequency
+    vocabulary. The DF band filter is the scale guard: the per-doc
+    self-join is quadratic in KEPT words per doc, so stopword-like
+    high-DF terms are excluded before the join (the vocabulary filter
+    is dimension-sized and broadcasts)."""
+    from clearcare_data_pipeline_spark.operators.textstats import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_expr(F.col("text")))).alias("word")
+    )
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(_COOC_DF_LO, _COOC_DF_HI))
+        .select("word")
+    )
+    kept = dw.join(F.broadcast(vocab), "word").select("doc_id", "word")
+    a = kept.select("doc_id", F.col("word").alias("w1"))
+    b = kept.select("doc_id", F.col("word").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(_COOC_TOPK)
+
+
+_COOC_ORACLE = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+           t -> length(t) > 0)) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word FROM dw GROUP BY word
+  HAVING count(*) BETWEEN {_COOC_DF_LO} AND {_COOC_DF_HI}
+),
+kept AS (SELECT doc_id, word FROM dw JOIN vocab USING (word))
+SELECT a.word AS w1, b.word AS w2, count(*) AS n
+FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.word < b.word
+GROUP BY 1, 2
+ORDER BY n DESC, w1, w2 LIMIT {_COOC_TOPK}
+"""
+
+QUERIES["doc_word_cooccurrence"] = q_doc_word_cooccurrence
+ORACLES["doc_word_cooccurrence"] = _COOC_ORACLE
