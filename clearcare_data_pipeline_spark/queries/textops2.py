@@ -555,3 +555,98 @@ ORDER BY n DESC, w1, w2 LIMIT {_COOC_TOPK}
 
 QUERIES["doc_word_cooccurrence"] = q_doc_word_cooccurrence
 ORACLES["doc_word_cooccurrence"] = _COOC_ORACLE
+
+
+# --- corpus mixing to target source weights ------------------------------
+
+_MIX_BOOSTED = ("src0", "src1")
+_MIX_DEFAULT_PCT = 40
+
+
+def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus re-weighting: keep 100 % of boosted
+    sources, hash-sample the rest to 40 % — membership is a pure
+    function of doc_id (same engine-portable md5 buckets as
+    hash_split), so the mix is identical across re-runs, partitions,
+    and engines. Output: per-source before/after counts."""
+    from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.when(F.col("source").isin(*_MIX_BOOSTED), F.lit(100)).otherwise(
+        F.lit(_MIX_DEFAULT_PCT)
+    )
+    kept = hash_bucket_expr(F.col("doc_id")) < pct
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(kept.cast("long")).alias("n_after"),
+    )
+
+
+def _mix_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_sql
+
+    boosted = ", ".join(f"'{s}'" for s in _MIX_BOOSTED)
+    return f"""
+SELECT source, count(*) AS n_before,
+  CAST(sum(CASE WHEN {hash_bucket_sql('doc_id')} <
+       (CASE WHEN source IN ({boosted}) THEN 100 ELSE {_MIX_DEFAULT_PCT} END)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+FROM documents GROUP BY source
+"""
+
+
+QUERIES["doc_source_mix"] = q_doc_source_mix
+ORACLES["doc_source_mix"] = _mix_oracle()
+
+
+# --- greedy contiguous sequence packing ----------------------------------
+
+_PACK_SEQ_LEN = 512
+
+
+def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for training batches: within each
+    source (doc_id order), documents pack into bins of ~512 tokens by
+    cumulative token count — bin = floor((cumsum - tokens) / seq_len).
+    One keyed window cumsum + one keyed agg; integer arithmetic
+    throughout, so the fill fractions mirror the oracle exactly."""
+    from clearcare_data_pipeline_spark.operators.textstats import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", token_count_expr(F.col("text")).cast("long").alias("tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = toks.withColumn(
+        "bin",
+        F.floor((F.sum("tok").over(w) - F.col("tok")) / F.lit(_PACK_SEQ_LEN)).cast("long"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.round(
+            F.sum("tok").cast("double") / F.lit(float(_PACK_SEQ_LEN)), 6
+        ).alias("fill_frac"),
+    )
+
+
+_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             t -> length(t) > 0)) AS BIGINT) AS tok
+  FROM documents
+),
+binned AS (
+  SELECT source, doc_id, tok,
+    CAST(floor((sum(tok) OVER (PARTITION BY source ORDER BY doc_id) - tok)
+         / {_PACK_SEQ_LEN}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT source, bin, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens,
+  round(CAST(sum(tok) AS DOUBLE) / {_PACK_SEQ_LEN}.0, 6) AS fill_frac
+FROM binned GROUP BY source, bin
+"""
+
+QUERIES["doc_sequence_packing"] = q_doc_sequence_packing
+ORACLES["doc_sequence_packing"] = _PACKING_ORACLE

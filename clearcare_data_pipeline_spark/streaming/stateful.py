@@ -104,3 +104,92 @@ def stream_user_running_totals(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- transformWithState (Spark 4 successor API) --------------------------
+
+try:  # pragma: no cover - needs Spark >= 4 AND a working protobuf
+    # (the state-server protocol is protobuf-based on the Python side)
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment]
+    _HAS_TWS = False
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("running_max", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+class RunningMaxProcessor(StatefulProcessor):
+    """Typed-state per-user running maximum: ValueState survives across
+    micro-batches; one row per user per batch carrying the running max
+    and total events seen. transformWithState is the Spark 4
+    replacement for applyInPandasWithState — explicit named state
+    variables instead of one monolithic state tuple."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("agg", "mx double, n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        mx, n = None, 0
+        if self._state.exists():
+            mx, n = self._state.get()
+        for pdf in rows:
+            batch_max = float(pdf["value"].max())
+            n += len(pdf)
+            mx = batch_max if mx is None else max(mx, batch_max)
+        self._state.update((mx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_max": [mx], "n_seen": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_running_max(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """transformWithStateInPandas pipeline over the JSON event feed."""
+    if not _HAS_TWS:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithState requires Spark >= 4.0 and the protobuf package"
+        )
+    # transformWithState is implemented only on the RocksDB state store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(input_dir)
+    out = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningMaxProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

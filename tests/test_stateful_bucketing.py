@@ -80,3 +80,35 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_transform_with_state_running_max(spark, tmp_path):
+    import pytest
+
+    from clearcare_data_pipeline_spark.streaming.stateful import _HAS_TWS, stream_running_max
+
+    if not _HAS_TWS:
+        pytest.skip("transformWithState needs protobuf (not in this container)")
+
+    inp, out, chk = str(tmp_path / "ti"), str(tmp_path / "to"), str(tmp_path / "tc")
+    (tmp_path / "ti").mkdir()
+
+    def write(name, rows):
+        (tmp_path / "ti" / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write("a.json", [
+        {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 7, "event_type": "c", "value": 5.0},
+        {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 7, "event_type": "c", "value": 2.0},
+    ])
+    q = stream_running_max(spark, inp, out, chk)
+    q.awaitTermination(120)
+
+    # lower value in batch 2 must not lower the running max; state persists
+    write("b.json", [
+        {"event_id": 3, "ts": "2024-01-01 00:05:00", "user_id": 7, "event_type": "c", "value": 3.0},
+    ])
+    q2 = stream_running_max(spark, inp, out, chk)
+    q2.awaitTermination(120)
+
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.n_seen)
+    assert [(r.running_max, r.n_seen) for r in rows if r.user_id == 7] == [(5.0, 2), (5.0, 3)]
