@@ -340,3 +340,107 @@ def _kmeans_oracle() -> str:
 
 QUERIES["emb_kmeans_clusters"] = q_emb_kmeans_clusters
 ORACLES["emb_kmeans_clusters"] = _kmeans_oracle()
+
+
+# --- ANN quality evaluation: recall@k of IVF vs brute force --------------
+
+
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF (nprobe=1) index against brute-force ground
+    truth — the evaluation loop every ANN deployment runs before
+    trading accuracy for speed. Composes the two existing operators
+    and joins their result sets per query; the oracle composes the
+    same two oracle queries as subqueries, so the measurement itself
+    is verified end-to-end."""
+    from clearcare_data_pipeline_spark.operators.similarity import ivf_topk
+
+    vecs = _emb(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % _QUERY_MOD == 0)
+    exact = cosine_topk(vecs, queries, k=_TOPK).select("query_id", "neighbor_id")
+    approx = ivf_topk(vecs, queries, k=_TOPK).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(_TOPK)), 6).alias("recall_at_k"),
+        )
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE})),
+approx AS (SELECT query_id, neighbor_id FROM ({_IVF_ORACLE})),
+hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, coalesce(n_hits, 0) AS n_hits,
+       round(coalesce(n_hits, 0) / {float(_TOPK)}, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits USING (query_id)
+"""
+
+QUERIES["emb_ann_recall"] = q_emb_ann_recall
+ORACLES["emb_ann_recall"] = _ANN_RECALL_ORACLE
+
+
+# --- label separation: pairwise centroid distances -----------------------
+
+
+def q_emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class separation: L2 distance between every
+    pair of label centroids. Centroid components are rounded to 6
+    decimals BEFORE the distance fold so both engines difference the
+    identical numbers (plain double avg is partial-order-dependent at
+    ~1e-13 — far below the rounding — while the distance of unrounded
+    centroids would amplify it). Label count is tiny, so the pairwise
+    stage is a broadcast self-join of a dimension-sized relation."""
+    d = with_norm(_emb(spark, sf_dir))
+    cents = (
+        d.select("label", F.posexplode("dvec").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("cvec")
+        )
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("cvec").alias("va"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("cvec").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return pairs.select("label_a", "label_b", F.round(dist, 6).alias("centroid_dist"))
+
+
+_LABEL_SEP_ORACLE = f"""
+WITH cent AS (
+  SELECT label, pos, round(avg(dv[pos + 1]), 6) AS cv
+  FROM (SELECT label, {_DV} AS dv FROM embeddings),
+       (SELECT unnest(range(0, 64)) AS pos)
+  GROUP BY label, pos
+),
+cvecs AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+  round(sqrt(list_reduce(list_transform(range(1, len(a.cvec) + 1),
+        i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])), (x, y) -> x + y)), 6)
+    AS centroid_dist
+FROM cvecs a JOIN cvecs b ON a.label < b.label
+"""
+
+QUERIES["emb_label_separation"] = q_emb_label_separation
+ORACLES["emb_label_separation"] = _LABEL_SEP_ORACLE

@@ -379,3 +379,41 @@ ORACLES = {
     "doc_simhash_near_dups": _SIMHASH_PAIRS_ORACLE,
     "doc_lang_source_rollup": _ROLLUP_ORACLE,
 }
+
+
+# --- declared-vs-detected language confusion matrix ----------------------
+
+
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the declared ``lang`` column vs the n-gram
+    language ID — the calibration view that decides whether the
+    detector is trustworthy enough to gate on. Pure column expressions
+    + one small keyed agg."""
+    from clearcare_data_pipeline_spark.operators.textstats import lang_id_expr, words_expr
+
+    docs = _docs(spark, sf_dir)
+    detected = lang_id_expr(words_expr(F.col("text")))
+    return (
+        docs.select(F.col("lang").alias("declared"), detected.alias("detected"))
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    scores = ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{lg} > 0 AND s_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH w0 AS (SELECT doc_id, lang, text, {_WORDS} AS w FROM documents),
+scored AS (SELECT doc_id, lang, {scores} FROM w0)
+SELECT lang AS declared, {lang_case} AS detected, count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+QUERIES["doc_lang_confusion"] = q_doc_lang_confusion
+ORACLES["doc_lang_confusion"] = _lang_confusion_oracle()
