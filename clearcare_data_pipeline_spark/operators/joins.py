@@ -105,3 +105,45 @@ def range_join(
     containment = (right[lower] <= left[point]) & (left[point] < right[upper])
     cond = containment if cond is None else (cond & containment)
     return left.join(right, cond, how)
+
+
+def blocked_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    text_col: str,
+    min_sim: float = 0.7,
+    id_col: str = "id",
+) -> DataFrame:
+    """Record-linkage candidate scoring with blocking.
+
+    The classic entity-resolution shape: an equi-join on blocking keys
+    bounds the candidate space (never all-pairs — the same discipline
+    as the LSH dedup path), then a normalized edit-distance similarity
+    ``1 - levenshtein/max(len)`` scores each candidate pair and a
+    threshold keeps the likely matches. Self-linkage callers should
+    pre-restrict to ``a.id < b.id``; the join here is keyed and
+    co-locatable, so at 100 TB the cost is one shuffle per side plus
+    work quadratic only within each block.
+    """
+    lt = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(text_col).alias("left_text"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+    )
+    rt = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(text_col).alias("right_text"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+    )
+    joined = lt.join(rt, [f"_b_{c}" for c in block_cols]).where(
+        F.col("left_id") < F.col("right_id")
+    )
+    sim = F.lit(1.0) - F.levenshtein("left_text", "right_text").cast("double") / F.greatest(
+        F.length("left_text"), F.length("right_text")
+    ).cast("double")
+    return (
+        joined.withColumn("similarity", F.round(sim, 6))
+        .where(F.col("similarity") >= min_sim)
+        .select("left_id", "right_id", "left_text", "right_text", "similarity")
+    )

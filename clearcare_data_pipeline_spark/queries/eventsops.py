@@ -573,3 +573,79 @@ ORACLES = {
     "events_json_props": _JSON_ORACLE,
     "events_type_minute_rate": _RATE_ORACLE,
 }
+
+
+# --- hourly gap fill + forward fill (locf) -------------------------------
+
+_GAPFILL_HOURS = 24
+
+
+def q_events_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized per-user time series: a 24-hour hourly spine from
+    each user's first event, left-joined with actual hourly purchase
+    totals, gaps forward-filled (locf) with IGNORE NULLS last(). The
+    spine generates inside the engine (sequence + explode — no driver
+    loop); decimal hourly sums keep engine parity before the fill."""
+    ev = load_table(spark, sf_dir, "events")
+    start = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0")
+    )
+    spine = start.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("t0"),
+                F.col("t0") + F.expr(f"INTERVAL {_GAPFILL_HOURS - 1} HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    hourly = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.col("value").cast("decimal(15,4)")).cast("double").alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.round(F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 6).alias(
+                "filled_value"
+            ),
+            F.col("v").isNotNull().alias("observed"),
+        )
+    )
+
+
+_GAPFILL_ORACLE = f"""
+WITH start AS (
+  SELECT user_id, date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(t0, t0 + INTERVAL {_GAPFILL_HOURS - 1} HOUR,
+                                         INTERVAL 1 HOUR)) AS hour
+  FROM start
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(sum(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT s.user_id, s.hour,
+  round(coalesce(last_value(v IGNORE NULLS) OVER
+        (PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS filled_value,
+  v IS NOT NULL AS observed
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+QUERIES["events_gap_filled"] = q_events_gap_filled
+ORACLES["events_gap_filled"] = _GAPFILL_ORACLE

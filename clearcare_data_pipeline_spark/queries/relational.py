@@ -483,3 +483,44 @@ ORACLES = {
     "slugify_names": _SLUG_ORACLE,
     "zip_extraction": _ZIP_ORACLE,
 }
+
+
+# --- blocked record linkage over part names ------------------------------
+
+_LINK_MIN_SIM = 0.7
+
+
+def q_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates among parts: block on (brand,
+    first name word), score by normalized edit distance
+    (operators/joins.py blocked_similarity_join) — quadratic work only
+    inside each block, keyed joins everywhere."""
+    from clearcare_data_pipeline_spark.operators.joins import blocked_similarity_join
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name"),
+        F.col("p_brand"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+    return blocked_similarity_join(
+        part, part, ["p_brand", "first_word"], "p_name", min_sim=_LINK_MIN_SIM
+    )
+
+
+_LINKAGE_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey AS id, p_name, p_brand, split_part(p_name, ' ', 1) AS fw
+  FROM part
+)
+SELECT a.id AS left_id, b.id AS right_id,
+       a.p_name AS left_text, b.p_name AS right_text,
+       round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+             / greatest(length(a.p_name), length(b.p_name)), 6) AS similarity
+FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.fw = b.fw AND a.id < b.id
+WHERE round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+      / greatest(length(a.p_name), length(b.p_name)), 6) >= {_LINK_MIN_SIM}
+"""
+
+QUERIES["part_name_linkage"] = q_part_name_linkage
+ORACLES["part_name_linkage"] = _LINKAGE_ORACLE
