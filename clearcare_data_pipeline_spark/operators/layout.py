@@ -117,3 +117,27 @@ def write_zorder_layout(
         .format(file_format)
         .save(path)
     )
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    *,
+    file_format: str = "parquet",
+) -> None:
+    """Hive-style date partitioning: one directory per day of
+    ``ts_col``. The scan-side payoff is partition PRUNING — a filter
+    on the partition column skips whole directories before any file
+    is opened, which at 100 TB is the difference between scanning a
+    day and scanning a year. Time-ordered facts (events, logs) should
+    land this way by default."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("_date", F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy("_date")
+        .format(file_format)
+        .save(path)
+    )

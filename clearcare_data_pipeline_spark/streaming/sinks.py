@@ -56,12 +56,16 @@ def stream_merge_sink(
     keys: list[str],
     checkpoint_dir: str,
     order_col: str | None = None,
+    delete_col: str | None = None,
 ) -> StreamingQuery:
     """Start an availableNow streaming query that upserts each
     micro-batch into the snapshot table at ``target_dir``.
 
     ``order_col``: within-batch last-wins ordering (e.g. an event
     timestamp); without it the batch must already be unique per key.
+    ``delete_col``: boolean tombstone column — a key whose winning row
+    has it TRUE is REMOVED from the table (full CRUD CDC: insert /
+    update / delete), and the column itself never lands in the table.
     """
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -74,8 +78,16 @@ def stream_merge_sink(
                 .agg(*[F.max_by(c, order_col).alias(c) for c in others])
                 .select(*batch_df.columns)
             )
+        tombstones = None
+        if delete_col is not None:
+            tombstones = updates.where(F.col(delete_col)).select(*keys)
+            updates = updates.where(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
         target = read_merge_target(spark, target_dir)
         merged = updates if target is None else merge_upsert(target, updates, keys)
+        if tombstones is not None:
+            merged = merged.join(tombstones, keys, "left_anti")
         snap_name = f"snap_{batch_id:012d}"
         merged.write.mode("overwrite").parquet(os.path.join(target_dir, snap_name))
         _commit_snapshot(target_dir, snap_name)
@@ -123,3 +135,56 @@ def vacuum_snapshots(target_dir: str, keep_last: int = 2) -> list[str]:
         shutil.rmtree(os.path.join(target_dir, name))
         removed.append(name)
     return removed
+
+
+def stream_incremental_agg(
+    stream_df: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Incrementally-maintained aggregate table (count + sum per key):
+    each micro-batch computes its partial aggregate and ADDS it into
+    the snapshot via a keyed full-outer join — the materialized-view
+    maintenance pattern, on the same snapshot/pointer commit protocol
+    as stream_merge_sink. Unlike outputMode('complete') windowed
+    state, table size is unbounded by watermark because the state IS
+    the table; per-batch cost is the partial agg + a join against the
+    current snapshot."""
+
+    def _add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(25,4)")).alias("total"),
+        )
+        cur = read_merge_target(spark, target_dir)
+        if cur is None:
+            merged = part
+        else:
+            c = cur.select(
+                *keys, F.col("n").alias("_n0"), F.col("total").cast("decimal(25,4)").alias("_t0")
+            )
+            merged = (
+                c.join(part, keys, "full_outer")
+                .select(
+                    *keys,
+                    (F.coalesce("_n0", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
+                    (
+                        F.coalesce(F.col("_t0"), F.lit(0).cast("decimal(25,4)"))
+                        + F.coalesce(F.col("total"), F.lit(0).cast("decimal(25,4)"))
+                    ).alias("total"),
+                )
+            )
+        snap_name = f"snap_{batch_id:012d}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_dir, snap_name))
+        _commit_snapshot(target_dir, snap_name)
+
+    os.makedirs(target_dir, exist_ok=True)
+    return (
+        stream_df.writeStream.foreachBatch(_add_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

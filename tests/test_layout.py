@@ -147,3 +147,27 @@ def test_zorder_layout_clusters_both_dims(spark, sf_dir, tmp_path):
         spans_a.append(hi - lo)
     # at least one file covers a strict subrange (clustering happened)
     assert min(spans_a) < 2000 * 0.9
+
+
+def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from clearcare_data_pipeline_spark.operators.layout import write_date_partitioned
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dst = str(tmp_path / "events_by_date")
+    write_date_partitioned(ev, dst, "ts")
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    one_day = back.where(F.col("_date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the partition filter must reach the scan's PartitionFilters,
+    # not survive as a post-scan Filter on data
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(_date" in plan or "(_date" in plan.split("PartitionFilters")[1][:200]
+    # pruned scan reads fewer partitions than the full dataset has
+    import os as _os
+
+    n_dirs = len([d for d in _os.listdir(dst) if d.startswith("_date=")])
+    assert n_dirs > 1

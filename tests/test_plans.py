@@ -123,3 +123,21 @@ def test_histogram_prunes_to_single_column(spark, queries):
     for line in read_schemas:
         assert "l_extendedprice" in line
         assert "l_partkey" not in line
+
+
+def test_join_hints_steer_strategy(spark):
+    """The tuning surface a perf engineer reaches for first: hints must
+    override the optimizer's default pick."""
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    supp = load_table(spark, SF, "supplier")
+
+    merged = li.join(supp.hint("merge"), li.l_suppkey == supp.s_suppkey)
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+
+    bcast = li.join(supp.hint("broadcast"), li.l_suppkey == supp.s_suppkey)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+    shuffle_hash = li.join(supp.hint("shuffle_hash"), li.l_suppkey == supp.s_suppkey)
+    assert "ShuffledHashJoin" in shuffle_hash._jdf.queryExecution().executedPlan().toString()

@@ -253,3 +253,94 @@ def test_stream_session_counts(spark, tmp_path):
     assert got[(1, "2024-01-01 00:00:00")] == (2, 3.0)
     assert got[(1, "2024-01-01 02:00:00")] == (1, 3.0)
     assert got[(2, "2024-01-01 00:10:00")] == (1, 4.0)
+
+
+def test_stream_incremental_agg_accumulates(spark, tmp_path):
+    import json as j
+    from decimal import Decimal
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from clearcare_data_pipeline_spark.streaming.sinks import (
+        read_merge_target,
+        stream_incremental_agg,
+    )
+
+    inp = tmp_path / "iin"
+    inp.mkdir()
+    target, chk = str(tmp_path / "itarget"), str(tmp_path / "ichk")
+    schema = StructType(
+        [StructField("event_type", StringType()), StructField("value", DoubleType())]
+    )
+    (inp / "b1.json").write_text(
+        "\n".join(
+            j.dumps(r)
+            for r in [
+                {"event_type": "click", "value": 1.0},
+                {"event_type": "click", "value": 2.0},
+                {"event_type": "view", "value": 5.0},
+            ]
+        )
+    )
+    (inp / "b2.json").write_text(j.dumps({"event_type": "click", "value": 4.0}))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp))
+    q = stream_incremental_agg(stream, target, ["event_type"], chk)
+    q.awaitTermination(120)
+    got = {r.event_type: (r.n, float(r.total)) for r in read_merge_target(spark, target).collect()}
+    assert got == {"click": (3, 7.0), "view": (1, 5.0)}
+
+
+def test_stream_merge_sink_tombstone_deletes(spark, tmp_path):
+    import json as j
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from clearcare_data_pipeline_spark.streaming.sinks import (
+        read_merge_target,
+        stream_merge_sink,
+    )
+
+    inp = tmp_path / "din"
+    inp.mkdir()
+    target, chk = str(tmp_path / "dtarget"), str(tmp_path / "dchk")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", StringType()),
+            StructField("v", DoubleType()),
+            StructField("deleted", BooleanType()),
+        ]
+    )
+    (inp / "b1.json").write_text(
+        "\n".join(
+            j.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2024-01-01 00:00:01", "v": 1.0, "deleted": False},
+                {"k": 2, "ts": "2024-01-01 00:00:02", "v": 2.0, "deleted": False},
+            ]
+        )
+    )
+    # batch 2: delete k=1, insert k=3
+    (inp / "b2.json").write_text(
+        "\n".join(
+            j.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2024-01-01 00:01:00", "v": 0.0, "deleted": True},
+                {"k": 3, "ts": "2024-01-01 00:01:30", "v": 3.0, "deleted": False},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp))
+    q = stream_merge_sink(stream, target, ["k"], chk, order_col="ts", delete_col="deleted")
+    q.awaitTermination(120)
+    table = read_merge_target(spark, target)
+    assert "deleted" not in table.columns
+    got = {r.k: r.v for r in table.collect()}
+    assert got == {2: 2.0, 3: 3.0}
