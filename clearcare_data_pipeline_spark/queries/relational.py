@@ -524,3 +524,46 @@ WHERE round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
 
 QUERIES["part_name_linkage"] = q_part_name_linkage
 ORACLES["part_name_linkage"] = _LINKAGE_ORACLE
+
+
+# --- multiset set operations (EXCEPT ALL / INTERSECT ALL) ----------------
+
+
+def q_order_lines_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset algebra over order keys: the bag of keys from returned
+    lines vs the bag from late-shipped lines, compared with
+    exceptAll / intersectAll (multiplicity-aware, unlike DISTINCT set
+    ops). Output is the size of each result bag plus the input bags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    returned = li.where(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("k"))
+    late = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("k"))
+    )
+    counts = [
+        returned.count(),
+        late.count(),
+        returned.exceptAll(late).count(),
+        returned.intersectAll(late).count(),
+    ]
+    return spark.createDataFrame(
+        [tuple(counts)], "n_returned bigint, n_late bigint, n_except_all bigint, n_intersect_all bigint"
+    )
+
+
+_SET_OPS_ORACLE = """
+WITH returned AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+late AS (
+  SELECT l_orderkey AS k FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT (SELECT count(*) FROM returned) AS n_returned,
+       (SELECT count(*) FROM late) AS n_late,
+       (SELECT count(*) FROM (SELECT * FROM returned EXCEPT ALL SELECT * FROM late)) AS n_except_all,
+       (SELECT count(*) FROM (SELECT * FROM returned INTERSECT ALL SELECT * FROM late)) AS n_intersect_all
+"""
+
+QUERIES["order_lines_set_ops"] = q_order_lines_set_ops
+ORACLES["order_lines_set_ops"] = _SET_OPS_ORACLE

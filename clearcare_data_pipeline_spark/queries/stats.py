@@ -307,3 +307,64 @@ ORACLES = {
         "TRUE AS within_tolerance FROM lineitem GROUP BY l_returnflag"
     ),
 }
+
+
+# --- robust statistics: median / MAD / IQR outlier fences ----------------
+
+
+def q_lineitem_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-resistant dispersion per returnflag: exact median, MAD
+    (median absolute deviation), quartiles, and Tukey-fence outlier
+    counts. Two aggregation passes (the second computes |x - median|
+    against the broadcast per-group medians) — the exact-semantics
+    floor; both engines interpolate percentiles identically
+    (proved by quantity_percentiles)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.5).alias("med"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    joined = li.join(F.broadcast(q), "l_returnflag")
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5), 6
+            ).alias("mad"),
+            F.round(F.first("q1"), 6).alias("q1"),
+            F.round(F.first("q3"), 6).alias("q3"),
+            F.sum(
+                ((F.col("l_extendedprice") < lo) | (F.col("l_extendedprice") > hi)).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_ROBUST_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.5) AS med,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+  round(any_value(med), 6) AS median,
+  round(quantile_cont(abs(l_extendedprice - med), 0.5), 6) AS mad,
+  round(any_value(q1), 6) AS q1,
+  round(any_value(q3), 6) AS q3,
+  CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
+                  OR l_extendedprice > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  count(*) AS n
+FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+QUERIES["lineitem_robust_stats"] = q_lineitem_robust_stats
+ORACLES["lineitem_robust_stats"] = _ROBUST_ORACLE
