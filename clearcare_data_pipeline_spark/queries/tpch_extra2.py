@@ -366,3 +366,77 @@ ORACLES = {
     "q15_top_supplier": _Q15_ORACLE,
     "q17_small_quantity_revenue": _Q17_ORACLE,
 }
+
+
+# --- change-data-feed generation (operators/merge.py snapshot_diff) ------
+
+
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset between the orders table and a deterministically
+    perturbed next-day snapshot (every 10th order deleted, every 7th
+    repriced, a shifted-key copy of every 13th inserted). Output:
+    minimal per-row changes with change_type — feeding it through
+    merge_upsert + tombstones reproduces the new snapshot."""
+    from clearcare_data_pipeline_spark.operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    surviving = orders.where(F.col("o_orderkey") % 10 != 0)
+    repriced = surviving.withColumn(
+        "o_totalprice",
+        # floor(x*100 + 0.5)/100, not round(x, 2): Spark rounds the
+        # decimal STRING of the double (HALF_UP on shortest repr) while
+        # DuckDB rounds the binary double — they disagree on .5-repr
+        # boundaries. floor is unambiguous on the identical double.
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = orders.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    new = repriced.unionByName(inserted)
+    diff = snapshot_diff(orders, new, ["o_orderkey"])
+    return diff.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderstatus",
+        "change_type",
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+surviving AS (SELECT * FROM old WHERE o_orderkey % 10 != 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM surviving
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM old WHERE o_orderkey % 13 = 0
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       round(coalesce(n.o_totalprice, o.o_totalprice), 6) AS o_totalprice,
+       coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+              OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus THEN 'update'
+       END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+              OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus THEN 'update'
+       END) IS NOT NULL
+"""
+
+QUERIES["orders_snapshot_diff"] = q_orders_snapshot_diff
+ORACLES["orders_snapshot_diff"] = _SNAPSHOT_DIFF_ORACLE
