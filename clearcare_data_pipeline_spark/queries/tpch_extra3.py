@@ -311,3 +311,49 @@ ORACLES = {
     "q21_waiting_suppliers": _Q21_ORACLE,
     "rollup_revenue": _ROLLUP_ORACLE,
 }
+
+
+# --- explicit GROUPING SETS over the time hierarchy ----------------------
+
+
+def grouping_sets_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three explicit granularities — (year), (year, month),
+    and grand total — via DataFrame groupingSets (Spark 4 API). Unlike
+    ROLLUP this is a hand-picked lattice: one Expand pass produces all
+    three, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").cast("long").alias("o_year")
+    month = F.month("o_orderdate").cast("long").alias("o_month")
+    base = orders.select(year, month, F.col("o_totalprice"))
+    agg = base.groupingSets(
+        [["o_year"], ["o_year", "o_month"], []], "o_year", "o_month"
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,4)"))
+        .cast("decimal(25,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id("o_year", "o_month").cast("long").alias("gid"),
+    )
+    return agg.select(
+        F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+        F.coalesce("o_month", F.lit(-1)).alias("o_month"),
+        "gid",
+        F.round("revenue", 6).alias("revenue"),
+        "n_orders",
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_year, -1) AS o_year, coalesce(o_month, -1) AS o_month,
+       GROUPING(o_year, o_month) AS gid,
+       round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DECIMAL(25,4)) AS DOUBLE), 6) AS revenue,
+       count(*) AS n_orders
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(month(o_orderdate) AS BIGINT) AS o_month, o_totalprice
+      FROM orders)
+GROUP BY GROUPING SETS ((o_year), (o_year, o_month), ())
+"""
+
+QUERIES["grouping_sets_time_revenue"] = grouping_sets_time_revenue
+ORACLES["grouping_sets_time_revenue"] = _GROUPING_SETS_ORACLE
