@@ -357,3 +357,79 @@ GROUP BY GROUPING SETS ((o_year), (o_year, o_month), ())
 
 QUERIES["grouping_sets_time_revenue"] = grouping_sets_time_revenue
 ORACLES["grouping_sets_time_revenue"] = _GROUPING_SETS_ORACLE
+
+
+# --- PageRank over the co-purchase part graph ----------------------------
+
+_PR_MIN_CO = 2
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+_PR_LIMIT = 50
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over parts linked by
+    co-occurrence in >= 2 orders (operators/graph.py). Edge derivation
+    is a distinct-pair self-join keyed on the order, bounded by the
+    co-count threshold; the oracle replays the identical iterations as
+    chained CTEs. Top 50 by (rounded rank, node)."""
+    from clearcare_data_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _PR_MIN_CO)
+    )
+    edges = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
+    return (
+        pr.select("node", F.round("pr", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(_PR_LIMIT)
+    )
+
+
+def _pagerank_oracle() -> str:
+    d = _PR_DAMPING
+    parts = [
+        """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+        f"""pairs AS (
+  SELECT a.p AS p1, b.p AS p2 FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {_PR_MIN_CO})""",
+        """edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs)""",
+        """nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))""",
+        """outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)""",
+        """pr0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS pr FROM nodes)""",
+    ]
+    prev = "pr0"
+    for it in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""pr{it} AS (
+  SELECT n.node,
+         (1.0 - {d}) / (SELECT count(*) FROM nodes)
+         + {d} * coalesce(s.s, 0.0) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr / o.outdeg) AS s
+    FROM edges e JOIN {prev} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+        prev = f"pr{it}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(pr, 6) AS pr FROM {prev} "
+        + f"ORDER BY round(pr, 6) DESC, node LIMIT {_PR_LIMIT}"
+    )
+
+
+QUERIES["part_pagerank"] = q_part_pagerank
+ORACLES["part_pagerank"] = _pagerank_oracle()

@@ -34,3 +34,29 @@ def test_two_components(spark):
     )
     labels = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a star graph must outrank the leaves; ranks stay in a
+    simplex-ish range under the no-dangling-redistribution form."""
+    from clearcare_data_pipeline_spark.operators.graph import pagerank
+
+    # leaves 2..5 all point at hub 1; hub points back at leaf 2
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)], "src long, dst long"
+    )
+    pr = {r.node: r.pr for r in pagerank(edges, iters=10).collect()}
+    # mass cycles between hub and leaf 2; both must dominate the
+    # in-edge-less leaves, which stay at the base rank and equal
+    assert pr[1] > pr[3] and pr[2] > pr[3]
+    assert abs(pr[3] - pr[4]) < 1e-12 and abs(pr[4] - pr[5]) < 1e-12
+    assert abs(pr[3] - 0.15 / 5) < 1e-12
+
+
+def test_pagerank_symmetric_pair(spark):
+    from clearcare_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pr = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
+    # perfectly symmetric: both hold 1/2 of the mass at every iteration
+    assert abs(pr[1] - 0.5) < 1e-12 and abs(pr[2] - 0.5) < 1e-12
