@@ -286,3 +286,117 @@ ORACLES = {
     "cheapest_supplier_per_part": _CHEAPEST_ORACLE,
     "orders_above_customer_avg": _ABOVE_AVG_ORACLE,
 }
+
+
+# --- interarrival gaps between a customer's orders -----------------------
+
+
+def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of day-gaps between consecutive orders per
+    customer: lag over the (customer, date, key) ordering, then exact
+    integer gap statistics per customer segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").cast("long").alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), gaps.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").alias("total_gap_days"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+        )
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment, count(*) AS n_gaps,
+       CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
+       CAST(min(gap_days) AS BIGINT) AS min_gap,
+       CAST(max(gap_days) AS BIGINT) AS max_gap
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+QUERIES["orders_interarrival"] = q_orders_interarrival
+ORACLES["orders_interarrival"] = _INTERARRIVAL_ORACLE
+
+
+# --- cohort lifetime value -----------------------------------------------
+
+
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curves: customers cohorted by first-order month, revenue
+    accumulated by months-since-first-order. Two keyed aggregations +
+    a running window over the (small) cohort x age matrix; decimal
+    sums for engine parity."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    aged = orders.join(first, "o_custkey").withColumn(
+        "age_months",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).cast("long"),
+    )
+    cell = aged.groupBy("cohort_month", "age_months").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,4)")).alias("rev"),
+        F.count_distinct("o_custkey").alias("n_active"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_month",
+        "age_months",
+        F.round(F.col("rev").cast("double"), 6).alias("month_revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 6).alias("cumulative_revenue"),
+        "n_active",
+    )
+
+
+_COHORT_LTV_ORACLE = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+cell AS (
+  SELECT cohort_month,
+         CAST((year(o_orderdate) - year(cohort_month)) * 12
+              + (month(o_orderdate) - month(cohort_month)) AS BIGINT) AS age_months,
+         sum(CAST(o_totalprice AS DECIMAL(15,4))) AS rev,
+         count(DISTINCT o_custkey) AS n_active
+  FROM orders JOIN first USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cohort_month, age_months,
+       round(CAST(rev AS DOUBLE), 6) AS month_revenue,
+       round(CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS cumulative_revenue,
+       n_active
+FROM cell
+"""
+
+QUERIES["customer_cohort_ltv"] = q_customer_cohort_ltv
+ORACLES["customer_cohort_ltv"] = _COHORT_LTV_ORACLE
