@@ -649,3 +649,75 @@ FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
 
 QUERIES["events_gap_filled"] = q_events_gap_filled
 ORACLES["events_gap_filled"] = _GAPFILL_ORACLE
+
+
+# --- top-k event types per hour window -----------------------------------
+
+_WINDOW_TOPK = 3
+
+
+def q_events_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the 3 most frequent event types in each hour
+    (deterministic (count DESC, type) ranking) — the trending-items
+    pattern: one keyed agg + a window over the tiny (hour, type)
+    matrix, never over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _WINDOW_TOPK)
+        .select("hour", "event_type", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_HOURLY_TOP_ORACLE = f"""
+SELECT hour, event_type, n, CAST(rk AS INT) AS rk FROM (
+  SELECT hour, event_type, n,
+         row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rk
+  FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+) WHERE rk <= {_WINDOW_TOPK}
+"""
+
+QUERIES["events_hourly_top_types"] = q_events_hourly_top_types
+ORACLES["events_hourly_top_types"] = _HOURLY_TOP_ORACLE
+
+
+# --- daily new vs returning users ----------------------------------------
+
+
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into first-ever-seen (new) vs returning —
+    the first product-analytics chart anyone builds. First-seen date
+    per user is one keyed agg; the daily split joins it back on the
+    (user, day) distinct frame."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        days.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("new_users"),
+            F.sum((F.col("day") != F.col("first_day")).cast("long")).alias("returning_users"),
+        )
+    )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+first_seen AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id)
+SELECT day,
+  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+  CAST(sum(CASE WHEN day != first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM days JOIN first_seen USING (user_id)
+GROUP BY day
+"""
+
+QUERIES["events_new_vs_returning"] = q_events_new_vs_returning
+ORACLES["events_new_vs_returning"] = _NEW_RETURNING_ORACLE

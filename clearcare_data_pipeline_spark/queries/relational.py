@@ -567,3 +567,62 @@ SELECT (SELECT count(*) FROM returned) AS n_returned,
 
 QUERIES["order_lines_set_ops"] = q_order_lines_set_ops
 ORACLES["order_lines_set_ops"] = _SET_OPS_ORACLE
+
+
+# --- share-of-total window (ratio_to_report analog) ----------------------
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's revenue: a window sum over
+    the nation-level aggregate (dimension-sized input) divides exactly
+    doubled decimal sums, so the ratio is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,4)")
+                * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+            )
+            .cast("decimal(25,4)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("region_share"),
+    )
+
+
+_REV_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r_name AS region, n_name AS nation,
+    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))
+        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(25,4)) AS DOUBLE)
+      AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, round(revenue, 6) AS revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 6) AS region_share
+FROM rev
+"""
+
+QUERIES["nation_revenue_share"] = q_nation_revenue_share
+ORACLES["nation_revenue_share"] = _REV_SHARE_ORACLE
