@@ -105,3 +105,30 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         quality_score_expr(text).alias("quality"),
         fingerprint_expr(text).alias("fingerprint"),
     )
+
+
+_RH_BASE = 257
+_RH_MOD = 2147483647  # 2^31 - 1: products stay < 2^63 in the fold
+
+
+def rolling_hash_expr(text: Column) -> Column:
+    """Rabin-Karp polynomial rolling hash of the whole string:
+    h = fold(h * 257 + ascii(c)) mod (2^31 - 1), all in exact BIGINT
+    arithmetic so the DuckDB twin (list_reduce with a prepended 0
+    seed) is bit-identical. The character fold runs inside codegen —
+    no UDF. Complementary to the md5 fingerprint: incremental (a
+    streaming chunker can extend it per character) and cheap to
+    recompute over sliding windows."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * _RH_BASE + F.ascii(c)) % F.lit(_RH_MOD),
+    )
+
+
+ROLLING_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(h, c) -> (h * {_RH_BASE} + c) % {_RH_MOD})"
+)

@@ -417,3 +417,36 @@ FROM scored GROUP BY 1, 2
 
 QUERIES["doc_lang_confusion"] = q_doc_lang_confusion
 ORACLES["doc_lang_confusion"] = _lang_confusion_oracle()
+
+
+# --- rolling-hash fingerprint dup groups ---------------------------------
+
+
+def q_doc_rolling_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups by Rabin-Karp rolling hash over the planted-dup
+    corpus — the incremental-fingerprint counterpart of the md5 groups
+    (doc_dup_groups); identical group structure proves the hash."""
+    from clearcare_data_pipeline_spark.operators.textstats import rolling_hash_expr
+
+    c = corpus_exact_dups(spark, sf_dir)
+    return (
+        c.select("doc_id", rolling_hash_expr(F.col("text")).alias("rhash"))
+        .groupBy("rhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+        .where(F.col("n") > 1)
+    )
+
+
+def _rolling_hash_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.textstats import ROLLING_HASH_SQL
+
+    rh = ROLLING_HASH_SQL.format(col="text")
+    return f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL})
+SELECT {rh} AS rhash, count(*) AS n, min(doc_id) AS min_doc
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+QUERIES["doc_rolling_hash_groups"] = q_doc_rolling_hash_groups
+ORACLES["doc_rolling_hash_groups"] = _rolling_hash_oracle()
