@@ -38,7 +38,19 @@ def salted_join(
     ANY assignment is correct: matching is still governed solely by the
     join keys); the other side is replicated once per salt value so
     every (key, salt) bucket can match locally.
+
+    ``how`` is restricted to 'inner' and 'left': under right/full
+    outer, an unmatched ``other`` row exists once per replica and would
+    surface ``num_salts`` duplicate null-padded rows — there is no
+    per-row identity to dedup them on. Salt the other direction (swap
+    the arguments) for a right-outer need.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how in ('inner', 'left'): the replicated "
+            "side's unmatched rows would be duplicated num_salts times under "
+            f"right/full outer (got {how!r})"
+        )
     if "_salt" in skewed.columns or "_salt" in other.columns:
         raise ValueError("column '_salt' already present")
     left = skewed.withColumn(
@@ -60,11 +72,15 @@ def salted_distinct_count(
     salt is a pure function of the value, so duplicates collapse
     within their bucket — and phase two counts bucket sizes and sums,
     keeping per-task fan-in bounded by ~|distinct| / num_salts.
+
+    NULL values are kept through phase one (they salt into a bucket
+    like any other value; ``count_distinct`` then ignores them), so a
+    group whose values are ALL NULL still appears with count 0 —
+    exactly matching ``groupBy().agg(count_distinct(value))``.
     """
     salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(num_salts))
     bucket_counts = (
         df.select(*group_cols, F.col(value_col), salt.alias("_salt"))
-        .where(F.col(value_col).isNotNull())
         .groupBy(*group_cols, "_salt")
         .agg(F.count_distinct(value_col).alias("_n"))
     )

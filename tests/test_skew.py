@@ -56,3 +56,24 @@ def test_salted_distinct_count(spark):
     plain = df.groupBy("k").agg(F.count_distinct("v").alias("distinct_v"))
     salted = salted_distinct_count(df, ["k"], "v", num_salts=16)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    left, dim = _skewed_df(spark), _dim(spark)
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(left, dim, ["k"], how=how)
+
+
+def test_salted_distinct_count_keeps_all_null_groups(spark):
+    # Group "nulls" has only NULL values; plain count_distinct reports it
+    # with count 0 — the salted version must not drop it.
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), ("nulls", None), ("nulls", None)],
+        "k string, v string",
+    )
+    plain = df.groupBy("k").agg(F.count_distinct("v").alias("distinct_v"))
+    salted = salted_distinct_count(df, ["k"], "v", num_salts=8)
+    expected = sorted(map(tuple, plain.collect()))
+    assert ("nulls", 0) in expected
+    assert sorted(map(tuple, salted.collect())) == expected
