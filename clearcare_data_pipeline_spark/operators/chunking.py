@@ -26,17 +26,24 @@ def chunk_documents(
 
     Output: one row per (doc, chunk) with ``chunk_id`` (0-based),
     ``start_token``, ``n_tokens`` and the re-joined ``chunk_text``.
-    Stride = chunk_tokens - overlap; the final partial window is kept
-    (it still carries the document tail). Pure per-row fan-out — the
-    plan is scan -> project -> posexplode, no shuffle at all, so it
-    scales linearly with corpus bytes.
+    Stride = chunk_tokens - overlap; a final partial window is kept
+    only when it contributes tokens beyond the previous chunk's
+    coverage: a start ``s > 0`` whose window is fully inside the prior
+    chunk (``s + overlap >= n``, since the prior chunk ends at
+    ``s + overlap``) would emit pure duplicate training text, so it is
+    dropped — every token still appears in some chunk. Pure per-row
+    fan-out — the plan is scan -> project -> posexplode, no shuffle at
+    all, so it scales linearly with corpus bytes.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     toks = words_expr(F.col(text_col))
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == F.lit(0)) | (s + F.lit(overlap) < n),
+    )
     chunks = F.filter(
         F.transform(
             starts,

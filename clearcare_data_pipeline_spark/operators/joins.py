@@ -39,12 +39,27 @@ def asof_join(
     ascending for determinism only when right_ts ties — callers
     needing total determinism should pass a unique right_ts or dedup
     the right side first).
+
+    When both sides name their timestamp the same (the common case,
+    e.g. both ``ts``), the right timestamp is emitted with a
+    ``_right`` suffix — pandas ``merge_asof`` convention. All
+    temporal predicates are built from the qualified parent columns
+    (``left[left_ts]`` / ``right[right_ts]``), never bare ``F.col``,
+    so same-named columns cannot trip an ambiguous-reference error.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    lt, rt = F.col(left_ts), F.col(right_ts)
+    r_keys = {rc for _, rc in on}
+    r_ts_out = right_ts
+    if right_ts in left.columns and right_ts not in r_keys:
+        r_ts_out = right_ts + "_right"
+        if r_ts_out in left.columns or r_ts_out in right.columns:
+            raise ValueError(f"cannot disambiguate timestamp column {right_ts!r}: "
+                             f"{r_ts_out!r} already exists")
+        right = right.withColumnRenamed(right_ts, r_ts_out)
+    lt, rt = left[left_ts], right[r_ts_out]
     cond = None
     for lc, rc in on:
         c = left[lc] == right[rc]
@@ -58,7 +73,6 @@ def asof_join(
     # Output = left columns + right's non-key columns. Right-side key
     # columns are redundant (equal by construction); any OTHER name
     # collision is ambiguous and rejected rather than silently renamed.
-    r_keys = {rc for _, rc in on}
     r_cols = [c for c in right.columns if c not in r_keys]
     collisions = set(r_cols) & set(left.columns)
     if collisions:
@@ -69,7 +83,11 @@ def asof_join(
     joined = lkeyed.join(right, cond, "inner").select(
         *[lkeyed[c] for c in lkeyed.columns], *[right[c] for c in r_cols]
     )
-    order = [F.desc(right_ts)] if direction == "backward" else [F.asc(right_ts)]
+    # Order by the right timestamp as it appears in the joined output;
+    # when right_ts doubles as an equality key it is constant within
+    # each left row's partition and any order picks the same row.
+    order_key = r_ts_out if r_ts_out in r_cols else left_ts
+    order = [F.desc(order_key)] if direction == "backward" else [F.asc(order_key)]
     w = Window.partitionBy(lid).orderBy(*order)
     best = joined.withColumn("_asof_rn", F.row_number().over(w)).where(
         F.col("_asof_rn") == 1

@@ -161,7 +161,9 @@ SELECT doc_id,
   CAST(s AS INT) AS start_token,
   CAST(least({_CHUNK}, len(w) - s) AS INT) AS n_tokens,
   array_to_string(w[s + 1 : s + {_CHUNK}], ' ') AS chunk_text
-FROM st WHERE least({_CHUNK}, len(w) - s) > 0
+FROM st
+WHERE least({_CHUNK}, len(w) - s) > 0
+  AND (s = 0 OR s + {_OVERLAP} < len(w))
 """
 
 _PII_SUFFIX = " contact: a.smith+x@example.com or 555-123-4567, ssn 123-45-6789"

@@ -14,8 +14,11 @@ table) plus a full snapshot rewrite. Snapshot rewrite is the honest
 cost of upsert-on-parquet without a table format; a production
 deployment bounds it by partitioning the snapshot on a key prefix and
 rewriting only partitions containing touched keys. foreachBatch gives
-exactly-once table state under retries: batch replays MERGE the same
-rows and the pointer swap is idempotent per batch id.
+exactly-once table state under retries because replays are detected
+and skipped: the pointer file is the commit log, and a batch whose
+snapshot the pointer already names (crash after pointer swap, before
+Spark's checkpoint commit) is a no-op on replay — see
+``_batch_already_applied``.
 """
 
 from __future__ import annotations
@@ -50,6 +53,28 @@ def _commit_snapshot(target_dir: str, snap_name: str) -> None:
     os.replace(tmp, pointer)  # atomic on POSIX
 
 
+def _batch_already_applied(target_dir: str, snap_name: str) -> bool:
+    """True when the pointer already names this batch's snapshot (or a
+    later one — zero-padded names compare in commit order).
+
+    This is the replay guard that makes foreachBatch exactly-once: a
+    crash between the pointer swap and Spark's checkpoint commit makes
+    Spark re-run the batch, and without the guard the replay would
+    resolve ``read_merge_target`` to ``snap_{batch_id}`` and then
+    ``overwrite`` the very directory it is lazily reading (Spark
+    refuses: "Cannot overwrite a path that is also being read from" —
+    wedging the query) or, for the incremental agg, double-add the
+    batch. The pointer IS the table's commit log, so pointer >= batch
+    means the batch's effects are fully visible and replay must be a
+    no-op."""
+    pointer = os.path.join(target_dir, _POINTER)
+    if not os.path.exists(pointer):
+        return False
+    with open(pointer) as fh:
+        current = fh.read().strip()
+    return current >= snap_name
+
+
 def stream_merge_sink(
     stream_df: DataFrame,
     target_dir: str,
@@ -70,6 +95,9 @@ def stream_merge_sink(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        snap_name = f"snap_{batch_id:012d}"
+        if _batch_already_applied(target_dir, snap_name):
+            return  # replay of a committed batch — effects already live
         updates = batch_df
         if order_col is not None:
             others = [c for c in updates.columns if c not in keys]
@@ -88,7 +116,6 @@ def stream_merge_sink(
         merged = updates if target is None else merge_upsert(target, updates, keys)
         if tombstones is not None:
             merged = merged.join(tombstones, keys, "left_anti")
-        snap_name = f"snap_{batch_id:012d}"
         merged.write.mode("overwrite").parquet(os.path.join(target_dir, snap_name))
         _commit_snapshot(target_dir, snap_name)
 
@@ -155,6 +182,9 @@ def stream_incremental_agg(
 
     def _add_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        snap_name = f"snap_{batch_id:012d}"
+        if _batch_already_applied(target_dir, snap_name):
+            return  # replay of a committed batch — already added
         part = batch_df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(25,4)")).alias("total"),
@@ -177,7 +207,6 @@ def stream_incremental_agg(
                     ).alias("total"),
                 )
             )
-        snap_name = f"snap_{batch_id:012d}"
         merged.write.mode("overwrite").parquet(os.path.join(target_dir, snap_name))
         _commit_snapshot(target_dir, snap_name)
 

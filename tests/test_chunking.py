@@ -16,13 +16,39 @@ def test_chunk_overlap_and_tail(spark):
         _docs(spark, [(1, text)]), chunk_tokens=4, overlap=2
     ).collect()
     got = [(r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk_text"]) for r in out]
+    # Start s=8 is suppressed: "w8 w9" is fully inside chunk 3's
+    # coverage (8 + overlap 2 >= 10) — no duplicate tail text.
     assert got == [
         (0, 0, 4, "w0 w1 w2 w3"),
         (1, 2, 4, "w2 w3 w4 w5"),
         (2, 4, 4, "w4 w5 w6 w7"),
         (3, 6, 4, "w6 w7 w8 w9"),
-        (4, 8, 2, "w8 w9"),  # kept partial tail
     ]
+
+
+def test_chunk_tail_kept_when_it_adds_tokens(spark):
+    # n=11: start s=8 covers w8..w10 and w10 is new -> kept, partial.
+    text = " ".join(f"w{i}" for i in range(11))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=4, overlap=2
+    ).collect()
+    got = [(r["chunk_id"], r["start_token"], r["n_tokens"]) for r in out]
+    assert got[-1] == (4, 8, 3)
+    # every token is covered exactly by the union of chunks
+    covered = set()
+    for r in out:
+        covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+    assert covered == set(range(11))
+
+
+def test_chunk_no_fully_contained_tail(spark):
+    # ADVICE example shape: n < chunk_tokens but a second start lands
+    # inside the first chunk's overlap -> exactly one chunk emitted.
+    text = " ".join(f"t{i}" for i in range(97))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=128, overlap=32
+    ).collect()
+    assert [(r["chunk_id"], r["start_token"], r["n_tokens"]) for r in out] == [(0, 0, 97)]
 
 
 def test_chunk_empty_and_whitespace_docs(spark):

@@ -77,3 +77,30 @@ def test_range_join_half_open(spark):
     got = sorted((r["pid"], r["iid"]) for r in out.collect())
     # p2 at x=20 is NOT in [15, 20) — upper bound is exclusive
     assert got == [("p1", "i1"), ("p3", "i3")]
+
+
+def test_asof_same_named_ts_columns(spark):
+    """Both sides call their timestamp 'ts' — the common case. The right
+    timestamp must come back suffixed '_right', and the match semantics
+    are unchanged (no ambiguous-reference analysis error)."""
+    trades = _trades(spark).withColumnRenamed("t", "ts")
+    quotes = _quotes(spark).withColumnRenamed("qt", "ts")
+    out = asof_join(
+        trades, quotes, on=[("sym", "sym")], left_ts="ts", right_ts="ts"
+    )
+    assert "ts_right" in out.columns
+    got = {r["trade"]: r["px"] for r in out.collect()}
+    assert got == {"t1": 100.0, "t2": 101.0}
+    # left + tolerance through the same path
+    out2 = asof_join(
+        trades,
+        quotes,
+        on=[("sym", "sym")],
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+        how="left",
+        tolerance=F.expr("INTERVAL 100 SECONDS"),
+    )
+    got2 = {r["trade"]: r["px"] for r in out2.collect()}
+    assert got2 == {"t0": 100.0, "t1": 101.0, "t2": 102.0, "t3": None}

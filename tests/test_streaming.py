@@ -344,3 +344,74 @@ def test_stream_merge_sink_tombstone_deletes(spark, tmp_path):
     assert "deleted" not in table.columns
     got = {r.k: r.v for r in table.collect()}
     assert got == {2: 2.0, 3: 3.0}
+
+
+def test_replayed_batches_are_noops(spark, tmp_path):
+    """Crash-replay semantics: a micro-batch whose snapshot the pointer
+    already names must be skipped. Simulated by wiping the streaming
+    checkpoint after a completed run — availableNow then re-reads and
+    re-delivers every batch with the same batch ids — and asserting the
+    table is unchanged (not double-counted, not wedged on
+    read-from/overwrite of the live snapshot)."""
+    import json as j
+    import shutil
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from clearcare_data_pipeline_spark.streaming.sinks import (
+        list_snapshots,
+        read_merge_target,
+        stream_incremental_agg,
+        stream_merge_sink,
+    )
+
+    inp = tmp_path / "rin"
+    inp.mkdir()
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    (inp / "b1.json").write_text(
+        "\n".join(
+            j.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2024-01-01 00:00:00", "v": 1.0},
+                {"k": 2, "ts": "2024-01-01 00:00:10", "v": 2.0},
+            ]
+        )
+    )
+    (inp / "b2.json").write_text(j.dumps({"k": 1, "ts": "2024-01-01 00:01:00", "v": 9.0}))
+
+    # --- merge sink: replay must leave the upserted table identical
+    target, chk = str(tmp_path / "rtarget"), str(tmp_path / "rchk")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp))
+    stream_merge_sink(stream, target, ["k"], chk, order_col="ts").awaitTermination(120)
+    before = sorted((r.k, r.v) for r in read_merge_target(spark, target).collect())
+    snaps_before = list_snapshots(target)
+    shutil.rmtree(chk)  # lose the checkpoint -> all batches replay
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp))
+    q = stream_merge_sink(stream2, target, ["k"], chk, order_col="ts")
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert sorted((r.k, r.v) for r in read_merge_target(spark, target).collect()) == before
+    assert list_snapshots(target) == snaps_before  # no new snapshots written
+
+    # --- incremental agg: replay must not double-add
+    itarget, ichk = str(tmp_path / "ritarget"), str(tmp_path / "richk")
+    stream3 = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp))
+    stream_incremental_agg(stream3, itarget, ["k"], ichk, value_col="v").awaitTermination(120)
+    agg_before = sorted(
+        (r.k, r.n, float(r.total)) for r in read_merge_target(spark, itarget).collect()
+    )
+    shutil.rmtree(ichk)
+    stream4 = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(inp))
+    q2 = stream_incremental_agg(stream4, itarget, ["k"], ichk, value_col="v")
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    agg_after = sorted(
+        (r.k, r.n, float(r.total)) for r in read_merge_target(spark, itarget).collect()
+    )
+    assert agg_after == agg_before
