@@ -169,19 +169,33 @@ def _centroid(c: int) -> list[float]:
     return [float(((i * 13 + c * 29) % 17) - 8) / 8.0 for i in range(PLANE_DIM)]
 
 
-def _centroid_dists_expr(dvec: Column) -> Column:
-    """L2 distances to all centroids as one array.
+def centroid_matrix_df(spark) -> DataFrame:
+    """The centroid codebook as a one-row broadcastable table: a single
+    ``cmat array<array<double>>`` cell holding all NUM_CENTROIDS
+    centroids in cell-id order.
 
-    Shape matters for codegen: the centroid matrix is ONE constant
-    array-of-arrays literal and the per-centroid distance is ONE
-    ``transform`` lambda that loops at runtime — not 16 unrolled
-    aggregate trees, which ballooned into a single enormous generated
-    method (observed ~10x slowdown at 16x64 before this form)."""
-    centroids = F.array(
-        *[F.array(*[F.lit(w) for w in _centroid(c)]) for c in range(NUM_CENTROIDS)]
-    )
+    Why a table and not plan literals: inlining k x dim doubles as
+    expression-tree constants made every IVF query pay seconds of plan
+    compilation before touching data (and at real codebook sizes —
+    thousands of centroids — the tree is unbuildable). As DATA the
+    codebook rides a BroadcastNestedLoopJoin of exactly one row: the
+    join stays map-side (no shuffle), the expression tree is
+    constant-size in k, and per-row cost is the same O(k*dim) runtime
+    fold. One row rather than k rows so cell assignment (an argmin
+    ACROSS centroids) needs no re-aggregation shuffle afterwards."""
+    matrix = [_centroid(c) for c in range(NUM_CENTROIDS)]
+    return spark.createDataFrame([(matrix,)], "cmat: array<array<double>>")
+
+
+def _with_cmat(df: DataFrame) -> DataFrame:
+    return df.crossJoin(F.broadcast(centroid_matrix_df(df.sparkSession)))
+
+
+def _dists_expr(dvec: Column, cmat: Column) -> Column:
+    """L2 distances to every centroid in ``cmat``, as one array (same
+    sequential fold as dot products, so values are engine-portable)."""
     return F.transform(
-        centroids,
+        cmat,
         lambda cv: F.aggregate(
             F.zip_with(dvec, cv, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -190,19 +204,17 @@ def _centroid_dists_expr(dvec: Column) -> Column:
     )
 
 
-def ivf_cell_expr(dvec: Column) -> Column:
+def ivf_cell_expr(dvec: Column, cmat: Column) -> Column:
     """Nearest-centroid cell id (argmin L2 distance; first-min wins —
-    the IVF coarse quantizer). Distances are computed with the same
-    sequential fold as dot products, so cell assignment is
-    engine-portable."""
-    dists = _centroid_dists_expr(dvec)
+    the IVF coarse quantizer)."""
+    dists = _dists_expr(dvec, cmat)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def ivf_cells_expr(dvec: Column, nprobe: int = 2) -> Column:
+def ivf_cells_expr(dvec: Column, cmat: Column, nprobe: int = 2) -> Column:
     """The ``nprobe`` nearest cells, nearest first (distance ties break
     toward the lower cell id, matching ``ivf_cell_expr``'s first-min)."""
-    dists = _centroid_dists_expr(dvec)
+    dists = _dists_expr(dvec, cmat)
     pairs = F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
     return F.transform(
         F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["i"].cast("int")
@@ -210,8 +222,13 @@ def ivf_cells_expr(dvec: Column, nprobe: int = 2) -> Column:
 
 
 def ivf_assignments(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    d = with_norm(df, "embedding")
-    return d.select(F.col(id_col), ivf_cell_expr(F.col("dvec")).alias("cell"), "dvec", "norm")
+    d = _with_cmat(with_norm(df, "embedding"))
+    return d.select(
+        F.col(id_col),
+        ivf_cell_expr(F.col("dvec"), F.col("cmat")).alias("cell"),
+        "dvec",
+        "norm",
+    )
 
 
 def ivf_topk(
@@ -268,10 +285,10 @@ def ivf_topk_nprobe(
     cand = ivf_assignments(vectors, id_col).select(
         F.col(id_col).alias("neighbor_id"), "cell", "dvec", "norm"
     )
-    d = with_norm(queries, "embedding")
+    d = _with_cmat(with_norm(queries, "embedding"))
     q = d.select(
         F.col(id_col).alias("query_id"),
-        F.explode(ivf_cells_expr(F.col("dvec"), nprobe)).alias("cell"),
+        F.explode(ivf_cells_expr(F.col("dvec"), F.col("cmat"), nprobe)).alias("cell"),
         F.col("dvec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )

@@ -504,27 +504,42 @@ ORACLES["doc_heavy_hitter_words"] = _HH_ORACLE
 
 # --- word co-occurrence (informative mid-frequency vocabulary) -----------
 
-_COOC_DF_LO, _COOC_DF_HI, _COOC_TOPK = 20, 200, 50
+# Rank-based vocabulary band: skip the top _COOC_SKIP stopword-like
+# terms, keep the next _COOC_VOCAB by document frequency. A rank band
+# (unlike a fixed DF-value band) is non-empty at every corpus scale
+# and gives a HARD vocabulary bound.
+_COOC_SKIP, _COOC_VOCAB, _COOC_TOPK = 10, 100, 50
 
 
 def q_doc_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top word-pair co-occurrence counts over mid-document-frequency
-    vocabulary. The DF band filter is the scale guard: the per-doc
-    self-join is quadratic in KEPT words per doc, so stopword-like
-    high-DF terms are excluded before the join (the vocabulary filter
-    is dimension-sized and broadcasts)."""
+    """Top word-pair co-occurrence counts over mid-rank vocabulary.
+
+    The vocabulary filter is the scale guard: the per-doc self-join is
+    quadratic in KEPT words per doc, so (a) the top ``_COOC_SKIP``
+    stopword-like terms are excluded and (b) only the next
+    ``_COOC_VOCAB`` ranks are kept — per-doc pair fan-out is bounded
+    by C(vocab, 2) regardless of corpus size. The top-(skip+vocab)
+    cut runs as a distributed TakeOrdered (sort+limit), never a global
+    sort; the surviving vocabulary is dimension-sized and broadcasts.
+    DF ties at the rank boundary break by word for engine-portable
+    determinism."""
+    from pyspark.sql import Window
+
     from clearcare_data_pipeline_spark.operators.textstats import words_expr
 
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select(
         "doc_id", F.explode(F.array_distinct(words_expr(F.col("text")))).alias("word")
     )
-    vocab = (
+    top = (
         dw.groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df").between(_COOC_DF_LO, _COOC_DF_HI))
-        .select("word")
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(_COOC_SKIP + _COOC_VOCAB)
     )
+    # row_number over <=110 rows: the single-partition window is bounded.
+    rank = F.row_number().over(Window.orderBy(F.desc("df"), F.asc("word")))
+    vocab = top.withColumn("rank", rank).where(F.col("rank") > _COOC_SKIP).select("word")
     kept = dw.join(F.broadcast(vocab), "word").select("doc_id", "word")
     a = kept.select("doc_id", F.col("word").alias("w1"))
     b = kept.select("doc_id", F.col("word").alias("w2"))
@@ -544,9 +559,13 @@ WITH dw AS (
            t -> length(t) > 0)) AS word
   FROM documents
 ),
+ranked AS (
+  SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rank
+  FROM dw GROUP BY word
+),
 vocab AS (
-  SELECT word FROM dw GROUP BY word
-  HAVING count(*) BETWEEN {_COOC_DF_LO} AND {_COOC_DF_HI}
+  SELECT word FROM ranked
+  WHERE rank > {_COOC_SKIP} AND rank <= {_COOC_SKIP + _COOC_VOCAB}
 ),
 kept AS (SELECT doc_id, word FROM dw JOIN vocab USING (word))
 SELECT a.word AS w1, b.word AS w2, count(*) AS n

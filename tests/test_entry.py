@@ -48,3 +48,14 @@ def test_queries_run_and_match_oracle_sample(spark):
         sdf = q[name](spark, sf).toPandas()
         ddf = con.execute(o[name]).df()
         assert compare(sdf, ddf) == [], name
+
+
+def test_word_cooccurrence_nonempty(spark):
+    """Regression for the vacuously-green round-2 query: the rank-based
+    vocabulary band must emit real pairs even at the smallest sf."""
+    from clearcare_data_pipeline_spark.queries.textops2 import QUERIES
+
+    out = QUERIES["doc_word_cooccurrence"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["w1"] < r["w2"] and r["n"] >= 1 for r in rows)
