@@ -193,32 +193,42 @@ def jaccard_pairs(
 _HEX = "0123456789abcdef"
 
 
-def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
-    """16-bit SimHash over distinct tokens: bit_i = majority vote of
-    md5(token) hex-digit parities. Engine-portable (strpos arithmetic,
-    no native bit ops on binary)."""
+_LONG_MIN = -9223372036854775808
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash over distinct tokens, 64-bit by default: bit_i = majority
+    vote across tokens of bit (i % 4) of md5-hex digit (i // 4) — four
+    bits per hex digit, so md5's 32 digits supply up to 128 bits.
+    Engine-portable (strpos + floor-division arithmetic, no native bit
+    ops on binary). The signature lands in a signed long: bit 63
+    carries two's-complement weight -2^63, so XOR/bit_count hamming
+    math downstream is unaffected by sign."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(words_expr(F.col(text_col)))).alias("tok"),
     ).withColumn("th", F.md5(F.col("tok").cast("binary")))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    digit = (
+        F.instr(F.lit(_HEX), F.substring(F.col("th"), (F.col("bit") / 4).cast("int") + 1, 1)) - 1
+    )
+    bitval = F.floor(digit / F.pow(F.lit(2.0), F.col("bit") % 4)).cast("long") % 2
     votes = toks.select("doc_id", "th", bit).select(
-        "doc_id",
-        "bit",
-        (
-            ((F.instr(F.lit(_HEX), F.substring(F.col("th"), F.col("bit") + 1, 1)) - 1) % 2) * 2 - 1
-        ).alias("vote"),
+        "doc_id", "bit", (bitval * 2 - 1).alias("vote")
+    )
+    weight = F.when(F.col("bit") == 63, F.lit(_LONG_MIN).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.col("bit")).cast("long")
     )
     bitvals = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
     return bitvals.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
-        ).alias("simhash")
+        F.sum(F.when(F.col("s") >= 0, weight).otherwise(F.lit(0))).alias("simhash")
     )
 
 
 def simhash_near_dup_pairs(
-    signatures: DataFrame, *, max_hamming: int = 1, bits: int = 16, num_blocks: int = 2
+    signatures: DataFrame, *, max_hamming: int = 1, bits: int = 64, num_blocks: int = 4
 ) -> DataFrame:
     """(a, b, hamming) near-dup pairs by SimHash block bucketing.
 
@@ -226,10 +236,17 @@ def simhash_near_dup_pairs(
     blocks; any pair within hamming distance < num_blocks must agree
     exactly on at least one block, so candidate generation is a keyed
     self-join on (block_index, block_value) — never all-pairs — and the
-    exact popcount(xor) verify runs only inside buckets. At corpus
-    scale, size num_blocks so signatures/2^(bits/num_blocks) keeps
-    bucket populations bounded (more blocks = more recall, bigger
-    buckets).
+    exact popcount(xor) verify runs only inside buckets.
+
+    Defaults are corpus-scale: 64-bit signatures / 4 blocks = 2^16
+    bucket keys per block, so at 10^9 docs the expected bucket holds
+    ~15k docs (vs the 2^8-key 16/2 parameterization, whose buckets
+    degenerate toward all-pairs). Size ``num_blocks`` so
+    docs / 2^(bits/num_blocks) keeps bucket populations bounded — more
+    blocks = more recall (hamming < num_blocks guaranteed caught) but
+    bigger buckets. Block extraction uses an UNSIGNED shift + pmod so
+    a negative 64-bit signature (bit 63 set) still yields the correct
+    non-negative block values.
     """
     block_bits = bits // num_blocks
     blocks = signatures.select(
@@ -238,8 +255,10 @@ def simhash_near_dup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * block_bits)
-                    % F.lit(1 << block_bits)
+                    F.pmod(
+                        F.shiftrightunsigned(F.col("simhash"), i * block_bits),
+                        F.lit(1 << block_bits),
+                    )
                     for i in range(num_blocks)
                 ]
             )

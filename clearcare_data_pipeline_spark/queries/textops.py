@@ -287,7 +287,10 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_cte(relation: str) -> str:
     """WITH-clause body ending in ``sigs`` = (doc_id, simhash) over
-    ``relation`` — shared by the signature and pairing oracles."""
+    ``relation`` — shared by the signature and pairing oracles. Mirrors
+    the 64-bit construction in operators/dedup.py: bit i = majority
+    vote of bit (i % 4) of md5-hex digit (i // 4); bit 63 carries
+    two's-complement weight -2^63 (sums ride HUGEINT, land in BIGINT)."""
     return f"""
 toks AS (
   SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -296,16 +299,19 @@ toks AS (
 ),
 votes AS (
   SELECT doc_id, bit,
-    ((strpos('0123456789abcdef', substr(md5(tok), bit + 1, 1)) - 1) % 2) * 2 - 1 AS vote
-  FROM (SELECT doc_id, md5(tok) AS mh, tok FROM toks),
-       (SELECT unnest(range(0, 16)) AS bit)
+    (((strpos('0123456789abcdef', substr(mh, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+      // CAST(power(2, bit % 4) AS BIGINT)) % 2) * 2 - 1 AS vote
+  FROM (SELECT doc_id, md5(tok) AS mh FROM toks),
+       (SELECT unnest(range(0, 64)) AS bit)
 ),
 bitsums AS (
   SELECT doc_id, bit, sum(vote) AS s FROM votes GROUP BY doc_id, bit
 ),
 sigs AS (
   SELECT doc_id,
-    CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    CAST(sum(CASE WHEN s < 0 THEN 0
+             WHEN bit = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+             ELSE CAST(power(2, bit) AS HUGEINT) END) AS BIGINT) AS simhash
   FROM bitsums GROUP BY doc_id
 )
 """.strip()
@@ -327,7 +333,7 @@ def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clearcare_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
 
     sigs = simhash_signatures(corpus_near_dups(spark, sf_dir))
-    return simhash_near_dup_pairs(sigs, max_hamming=1, bits=16, num_blocks=2)
+    return simhash_near_dup_pairs(sigs, max_hamming=3, bits=64, num_blocks=4)
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -337,7 +343,7 @@ SELECT s1.doc_id AS a, s2.doc_id AS b,
        bit_count(xor(s1.simhash, s2.simhash)) AS hamming
 FROM sigs s1, sigs s2
 WHERE s1.doc_id < s2.doc_id
-  AND bit_count(xor(s1.simhash, s2.simhash)) <= 1
+  AND bit_count(xor(s1.simhash, s2.simhash)) <= 3
 """
 
 
