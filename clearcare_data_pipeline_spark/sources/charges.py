@@ -18,7 +18,9 @@ rows (every k % 97 == 0 row is emitted twice) for the dedup operators.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -177,7 +179,69 @@ def charges_sql(lineitem_relation: str = "lineitem") -> str:
 
 # per-process memo of materialized derivations: sf_dir -> parquet path
 _CHECKPOINTS: dict[str, str] = {}
-_CHECKPOINT_ROOT: str | None = None
+
+
+def _cache_root() -> str:
+    """Cross-process stage-checkpoint cache directory.
+
+    Defaults under the system temp dir so repeated bench/test runs on
+    the same machine reuse warm derivations instead of rebuilding them
+    (VERDICT r3 ask #1: ``derivation_sec`` ~0 on a warm cache). Override
+    with ``SPARK_GRAFT_CACHE_DIR``; set it to a fresh dir to force cold.
+    """
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "clearcare_stage_cache"),
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Fingerprint of the lineitem parquet the derivation reads
+    (file names + sizes + mtimes) so a regenerated testdata dir
+    invalidates the cache."""
+    target = os.path.join(sf_dir, "lineitem.parquet")
+    parts: list[str] = []
+    if os.path.isdir(target):
+        for name in sorted(os.listdir(target)):
+            st = os.stat(os.path.join(target, name))
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.isfile(target):
+        st = os.stat(target)
+        parts.append(f"{os.path.basename(target)}:{st.st_size}:{int(st.st_mtime)}")
+    return ";".join(parts)
+
+
+def stage_cache_path(kind: str, sf_dir: str, version_key: str) -> str:
+    """Deterministic cache location keyed by (stage kind, sf dir,
+    generator version, input fingerprint). Any change to the generator
+    source or the input parquet yields a new directory, so stale
+    results can never be served."""
+    digest = hashlib.sha256(
+        (version_key + "\x00" + _source_fingerprint(sf_dir)).encode()
+    ).hexdigest()[:16]
+    slug = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_cache_root(), f"{kind}-{slug}-{digest}")
+
+
+def ensure_stage_cached(path: str, build) -> str:
+    """Materialize ``build(tmp_path)`` into ``path`` exactly once.
+
+    Concurrency-safe via write-to-temp + atomic ``os.rename``: a
+    half-written directory is never visible under ``path``, and a race
+    loser just discards its temp copy. ``_SUCCESS`` guards against a
+    directory created by a crashed non-atomic writer."""
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    tmp = f"{path}.tmp-{os.getpid()}"
+    build(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # another process won the race; use its copy
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
 
 
 def charges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,14 +259,19 @@ def charges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the scan's repartition, serializing the pipeline onto one
     task). In the production pipeline this boundary is etl.py's
     extracted-parquet checkpoint.
+
+    The checkpoint persists across processes in a content-keyed cache
+    (the key hashes the derivation SQL and the lineitem parquet
+    fingerprint), so repeated bench runs at the same sf pay the
+    derivation exactly once per (generator version, dataset) instead
+    of once per process.
     """
-    global _CHECKPOINT_ROOT
     if sf_dir not in _CHECKPOINTS:
-        load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-        derived = spark.sql(charges_sql("lineitem"))
-        if _CHECKPOINT_ROOT is None:
-            _CHECKPOINT_ROOT = tempfile.mkdtemp(prefix="clearcare_extract_ckpt_")
-        path = os.path.join(_CHECKPOINT_ROOT, sf_dir.strip("/").replace("/", "_"))
-        derived.write.mode("overwrite").parquet(path)
-        _CHECKPOINTS[sf_dir] = path
+        path = stage_cache_path("extract", sf_dir, _CHARGES_SQL_TEMPLATE)
+
+        def _build(tmp: str) -> None:
+            load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+            spark.sql(charges_sql("lineitem")).write.mode("overwrite").parquet(tmp)
+
+        _CHECKPOINTS[sf_dir] = ensure_stage_cached(path, _build)
     return spark.read.parquet(_CHECKPOINTS[sf_dir])
