@@ -2,12 +2,26 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (VERDICT r4 ask #1):
+* every query runs ``N_RUNS`` (>=3) times; ``queries``/``extended``
+  report the per-query MEDIAN and ``spread`` the max-min range, so
+  round-over-round deltas are readable above local[32] scheduler noise;
+* the charges stage-checkpoint is built before timing: ``derivation_cold_sec``
+  is the one-time build cost this process actually paid (0-ish when the
+  cross-process cache is already warm), ``derivation_sec`` is the warm
+  re-resolution cost every query pays afterwards (~0 by design);
+* ``skew_demo`` times the same hot-keyed join plain vs through
+  operators/skew.py ``salted_join`` (broadcast + AQE skew rewrite
+  disabled for the demo only, isolating the shape the operator exists
+  for: the middle regime AQE does not rewrite).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -15,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from clearcare_data_pipeline_spark.session import get_spark  # noqa: E402
+
+N_RUNS = 3
 
 # Newer operators benched under their own key so the headline total
 # stays comparable across rounds (BASELINE.md / BENCH_r01).
@@ -26,6 +42,9 @@ EXTENDED = [
     "doc_repetition_stats",
     "events_rate_anomaly",
     "emb_kmeans_clusters",
+    # VERDICT r4 ask #4: the IVF ANN family gets numbers
+    "emb_ivf_topk",
+    "emb_ann_recall",
 ]
 
 HEADLINE = [
@@ -47,6 +66,89 @@ HEADLINE = [
 ]
 
 
+def _time_runs(fn, n: int = N_RUNS) -> list[float]:
+    out = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        out.append(time.time() - t0)
+    return out
+
+
+def _materialize(df) -> None:
+    # full materialization without driver-side collect overhead
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Plain vs salted join on a deliberately hot-keyed frame
+    (VERDICT r4 ask #8).
+
+    90% of lineitem rows map to join key 0; the dim side carries 200
+    rows per key, so the hot key alone produces ~90% of a ~120M-row
+    join output through a single sort-merge partition in the plain plan.
+    Broadcast and AQE's skew-join rewrite are disabled *for this demo
+    only* — salted_join targets exactly the shapes those don't cover
+    (non-broadcastable dim, plans AQE statistics miss).
+    """
+    from pyspark.sql import functions as F
+
+    from clearcare_data_pipeline_spark.operators.skew import salted_join
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_orderkey") % 100 < 90, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 200)
+            .cast("bigint")
+            .alias("k"),
+            F.col("l_extendedprice").alias("v"),
+        )
+    )
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("w"),
+    )
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": conf.get(
+            "spark.sql.adaptive.skewJoin.enabled", "true"
+        ),
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        def plain():
+            _materialize(
+                fact.join(dim, ["k"], "inner").groupBy("k").agg(
+                    F.sum(F.col("v") * F.col("w")).alias("s")
+                )
+            )
+
+        def salted():
+            _materialize(
+                salted_join(fact, dim, ["k"], num_salts=16)
+                .groupBy("k")
+                .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+            )
+
+        plain()  # warm both input scans once
+        plain_runs = _time_runs(plain)
+        salted_runs = _time_runs(salted)
+    finally:
+        for key, val in saved.items():
+            conf.set(key, val)
+    return {
+        "plain_sec": round(statistics.median(plain_runs), 3),
+        "salted_sec": round(statistics.median(salted_runs), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -62,42 +164,52 @@ def main() -> None:
         for wname in ["q1_pricing_summary", "q3_top_revenue_orders", "charges_score"]:
             if wname in queries:
                 try:
-                    queries[wname](spark, warm_sf).write.format("noop").mode("overwrite").save()
+                    _materialize(queries[wname](spark, warm_sf))
                 except Exception:
                     pass
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
     # The charges family shares a one-time derivation + parquet stage
-    # checkpoint (sources/charges.py). Build it up front under its own
-    # line item so per-query numbers reflect each query's actual plan,
-    # not whichever query happened to pay the one-time cost first.
-    derivation_sec = 0.0
+    # checkpoint (sources/charges.py), persisted in a cross-process
+    # content-keyed cache. Build it up front: cold = what this process
+    # paid now (near 0 if a previous run warmed the machine-level
+    # cache), warm = the steady-state resolution cost per query.
+    derivation_cold = 0.0
+    derivation_warm = 0.0
     try:
         from clearcare_data_pipeline_spark.queries.charges import _cleaned
+        from clearcare_data_pipeline_spark.sources import charges as charges_src
 
         t0 = time.time()
         _cleaned(spark, sf_dir)
-        derivation_sec = round(time.time() - t0, 3)
+        derivation_cold = round(time.time() - t0, 3)
+        # drop the per-process memo so the second resolution exercises
+        # the cross-process cache path, not a dict lookup
+        charges_src._CHECKPOINTS.clear()
+        t0 = time.time()
+        _cleaned(spark, sf_dir)
+        derivation_warm = round(time.time() - t0, 3)
     except Exception:
         pass
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        # materialize fully without driver-side collect overhead
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = _time_runs(lambda: _materialize(queries[name](spark, sf_dir)))
+        timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     ext_timings: dict[str, float] = {}
     for name in EXTENDED:
         if name not in queries:
             continue
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        ext_timings[name] = round(time.time() - t0, 3)
+        runs = _time_runs(lambda: _materialize(queries[name](spark, sf_dir)))
+        ext_timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
+
+    skew_demo = _skew_demo(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -107,9 +219,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "derivation_sec": derivation_sec,
+                "spread": spreads,
+                "runs_per_query": N_RUNS,
+                "derivation_sec": derivation_warm,
+                "derivation_cold_sec": derivation_cold,
                 "extended": ext_timings,
                 "extended_total_sec": round(sum(ext_timings.values()), 3),
+                "skew_demo": skew_demo,
                 "sf": sf,
             }
         )

@@ -22,6 +22,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -188,13 +189,48 @@ def _cache_root() -> str:
     the same machine reuse warm derivations instead of rebuilding them
     (VERDICT r3 ask #1: ``derivation_sec`` ~0 on a warm cache). Override
     with ``SPARK_GRAFT_CACHE_DIR``; set it to a fresh dir to force cold.
+
+    The default is per-user (``clearcare_stage_cache-<uid>``, mode
+    0o700) so on a shared machine another user can neither squat the
+    path nor pre-plant a digest-predictable directory that would poison
+    the correctness gate (ADVICE r4).
     """
-    root = os.environ.get(
-        "SPARK_GRAFT_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "clearcare_stage_cache"),
-    )
-    os.makedirs(root, exist_ok=True)
+    explicit = os.environ.get("SPARK_GRAFT_CACHE_DIR")
+    if explicit:
+        root = explicit
+        os.makedirs(root, exist_ok=True)
+    else:
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        root = os.path.join(tempfile.gettempdir(), f"clearcare_stage_cache-{uid}")
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.stat(root)
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"stage cache root {root!r} is owned by uid {st.st_uid}, "
+                "not the current user; refusing to trust cached entries "
+                "(set SPARK_GRAFT_CACHE_DIR to a private directory)"
+            )
+    _sweep_stale_tmp(root)
     return root
+
+
+def _sweep_stale_tmp(root: str, max_age_sec: float = 86400.0) -> None:
+    """Opportunistically remove ``*.tmp-*`` build directories leaked by
+    crashed writers (ADVICE r4): anything older than a day cannot belong
+    to a live build on this machine."""
+    try:
+        now = time.time()
+        for name in os.listdir(root):
+            if ".tmp-" not in name:
+                continue
+            full = os.path.join(root, name)
+            try:
+                if now - os.stat(full).st_mtime > max_age_sec:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -203,13 +239,16 @@ def _source_fingerprint(sf_dir: str) -> str:
     invalidates the cache."""
     target = os.path.join(sf_dir, "lineitem.parquet")
     parts: list[str] = []
+    # st_mtime_ns, not whole-second st_mtime: a dataset regenerated
+    # within the same second with size-preserving edits must still
+    # invalidate the cache (ADVICE r4).
     if os.path.isdir(target):
         for name in sorted(os.listdir(target)):
             st = os.stat(os.path.join(target, name))
-            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.isfile(target):
         st = os.stat(target)
-        parts.append(f"{os.path.basename(target)}:{st.st_size}:{int(st.st_mtime)}")
+        parts.append(f"{os.path.basename(target)}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(parts)
 
 
@@ -230,16 +269,28 @@ def ensure_stage_cached(path: str, build) -> str:
 
     Concurrency-safe via write-to-temp + atomic ``os.rename``: a
     half-written directory is never visible under ``path``, and a race
-    loser just discards its temp copy. ``_SUCCESS`` guards against a
-    directory created by a crashed non-atomic writer."""
+    loser just discards its temp copy. A directory present WITHOUT a
+    ``_SUCCESS`` marker (crashed non-atomic writer, or a Spark conf
+    that suppresses the marker) is treated as stale: it is removed and
+    replaced by the fresh build rather than returned (ADVICE r4). The
+    temp build dir is removed even when ``build`` raises."""
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     tmp = f"{path}.tmp-{os.getpid()}"
-    build(tmp)
     try:
-        os.rename(tmp, path)
-    except OSError:
-        # another process won the race; use its copy
+        build(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # another process won the race with a complete copy
+                pass
+            else:
+                # stale/incomplete directory squatting the path —
+                # replace it with the known-good fresh build
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path
 

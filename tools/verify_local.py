@@ -5,11 +5,16 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column names, and order-insensitive values
 (doubles rounded to 6 decimals before comparison).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--out FILE.json] [sf_dir] [query ...]
+
+``--out`` additionally writes a per-query JSON artifact (the committed
+CORRECTNESS_LOCAL_r{N}.json evidence trail for the queries the driver's
+50-query sample does not cover — VERDICT r4 ask #2).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -74,8 +79,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -86,6 +97,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failed, passed, rows_only = [], [], []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -94,27 +106,46 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append(name)
+            results[name] = {"status": "fail", "err": f"spark {type(e).__name__}: {e}"[:400]}
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
             rows_only.append(name)
+            results[name] = {"status": "rows_only", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
             failed.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb {type(e).__name__}: {e}"[:400]}
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             continue
         problems = compare(sdf, ddf)
         if problems:
             failed.append(name)
+            results[name] = {"status": "fail", "err": "; ".join(p[:400] for p in problems)}
             print(f"FAIL {name}: " + "; ".join(p[:400] for p in problems))
         else:
             passed.append(name)
+            results[name] = {"status": "pass", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "passed": len(passed),
+                    "failed": len(failed),
+                    "rows_only": len(rows_only),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     return 1 if failed else 0
 
 
