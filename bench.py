@@ -67,6 +67,10 @@ HEADLINE = [
 
 
 def _time_runs(fn, n: int = N_RUNS) -> list[float]:
+    """One untimed warmup (absorbs per-query plan compilation and
+    codegen, which would otherwise dominate the spread) then ``n``
+    timed runs."""
+    fn()
     out = []
     for _ in range(n):
         t0 = time.time()
@@ -137,7 +141,6 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
                 .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
             )
 
-        plain()  # warm both input scans once
         plain_runs = _time_runs(plain)
         salted_runs = _time_runs(salted)
     finally:
@@ -177,17 +180,19 @@ def main() -> None:
     derivation_cold = 0.0
     derivation_warm = 0.0
     try:
-        from clearcare_data_pipeline_spark.queries.charges import _cleaned
+        from clearcare_data_pipeline_spark.queries import charges as charges_q
         from clearcare_data_pipeline_spark.sources import charges as charges_src
 
         t0 = time.time()
-        _cleaned(spark, sf_dir)
+        charges_q._cleaned(spark, sf_dir)
         derivation_cold = round(time.time() - t0, 3)
-        # drop the per-process memo so the second resolution exercises
-        # the cross-process cache path, not a dict lookup
+        # drop BOTH per-process memos (extract checkpoint + cleaned
+        # checkpoint) so the second resolution exercises the
+        # cross-process cache path end-to-end, not a dict lookup
         charges_src._CHECKPOINTS.clear()
+        charges_q._CLEANED_CKPT.clear()
         t0 = time.time()
-        _cleaned(spark, sf_dir)
+        charges_q._cleaned(spark, sf_dir)
         derivation_warm = round(time.time() - t0, 3)
     except Exception:
         pass

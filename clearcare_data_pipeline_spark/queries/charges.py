@@ -30,29 +30,59 @@ _LINEITEM_REL = "lineitem"
 
 
 _CLEANED_CKPT: dict[str, str] = {}
-_CLEANED_ROOT: str | None = None
+
+
+def _cleaned_version_key() -> str:
+    """Content key for the cleaned checkpoint: the derivation SQL plus
+    the source of the whole cleaning chain (pipeline.clean_charges and
+    the column expressions it composes). Any edit to either yields a
+    new cache directory, so stale cleaned results can never be served."""
+    import inspect
+
+    from clearcare_data_pipeline_spark import pipeline as pipeline_mod
+    from clearcare_data_pipeline_spark.functions import cleaning as cleaning_mod
+    from clearcare_data_pipeline_spark.sources.charges import _CHARGES_SQL_TEMPLATE
+
+    return "\x00".join(
+        [
+            "cleaned-v1",
+            _CHARGES_SQL_TEMPLATE,
+            inspect.getsource(pipeline_mod),
+            inspect.getsource(cleaning_mod),
+        ]
+    )
 
 
 def _cleaned(spark: SparkSession, sf_dir: str):
     """Cleaned canonical table, checkpointed to parquet once per
-    session: the clean->consume boundary.
+    (cleaning version, dataset): the clean->consume boundary.
 
     Seven queries consume this table (cleaned rows, histograms,
     presence, tagging, score, quarantine); materializing it once and
     scanning parquet gives every consumer a splittable parallel scan
     with pushdown, and the cleaning chain runs exactly once. This
     mirrors etl.py's cleaned-parquet sink.
+
+    Like the extract-stage checkpoint it consumes, the cleaned table
+    lives in the cross-process content-keyed cache (sources/charges.py)
+    rather than a per-process temp dir, so a warm machine pays neither
+    the derivation nor the cleaning chain again — the whole charges
+    family starts from a parquet scan.
     """
-    global _CLEANED_ROOT
-    import os
-    import tempfile
+    from clearcare_data_pipeline_spark.sources.charges import (
+        ensure_stage_cached,
+        stage_cache_path,
+    )
 
     if sf_dir not in _CLEANED_CKPT:
-        if _CLEANED_ROOT is None:
-            _CLEANED_ROOT = tempfile.mkdtemp(prefix="clearcare_cleaned_ckpt_")
-        path = os.path.join(_CLEANED_ROOT, sf_dir.strip("/").replace("/", "_"))
-        clean_charges(charges_from_lineitem(spark, sf_dir)).write.mode("overwrite").parquet(path)
-        _CLEANED_CKPT[sf_dir] = path
+        path = stage_cache_path("cleaned", sf_dir, _cleaned_version_key())
+
+        def _build(tmp: str) -> None:
+            clean_charges(charges_from_lineitem(spark, sf_dir)).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        _CLEANED_CKPT[sf_dir] = ensure_stage_cached(path, _build)
     return spark.read.parquet(_CLEANED_CKPT[sf_dir])
 
 
