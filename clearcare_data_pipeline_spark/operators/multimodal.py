@@ -7,10 +7,16 @@ per partition and the Spark-side plumbing (schema, partitioning, batch
 shape) is identical to what a real codec-backed deployment would use.
 
 The actual codecs (Pillow / torchaudio / pyav) are NOT in this
-container, so the decode kernels are STUBBED: if the library imports,
-the real path runs; otherwise a clearly-marked deterministic fake
-parses our own fake header format. The fake is enough to exercise and
-test every Spark-side contract.
+container, so the compressed-format kernels are STUBBED: if the
+library imports, the real path runs; otherwise a clearly-marked
+deterministic fake parses our own fake header format. The fake is
+enough to exercise and test every Spark-side contract.
+
+One REAL codec needs no external library at all: 24-bit uncompressed
+BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + BGR rows, bottom-up,
+4-byte row padding) is encoded/decoded here with stdlib ``struct`` +
+numpy, so pixel-true decode -> resample -> re-encode runs and is
+tested in every environment, Pillow or not.
 """
 
 from __future__ import annotations
@@ -80,18 +86,103 @@ def make_fake_media(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# --- Real BMP codec (24-bit BI_RGB), stdlib struct + numpy ------------
+
+_BMP_MAGIC = b"BM"
+_BMP_HEADER_SIZE = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a spec-compliant 24-bit
+    uncompressed BMP (BGR byte order, bottom-up rows, rows padded to a
+    4-byte boundary)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = px[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    file_header = struct.pack(
+        "<2sIHHI", _BMP_MAGIC, _BMP_HEADER_SIZE + len(body), 0, 0, _BMP_HEADER_SIZE
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def decode_bmp(blob: bytes):
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB
+    array; ``None`` for anything that is not one (other bit depths /
+    compressions belong to the Pillow path). Handles both bottom-up
+    (positive height) and top-down (negative height) row orders."""
+    import numpy as np
+
+    if len(blob) < _BMP_HEADER_SIZE or blob[:2] != _BMP_MAGIC:
+        return None
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if header_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if len(blob) < data_offset + stride * h:
+        return None
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=data_offset)
+    px = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)[:, :, ::-1]
+    return px if top_down else px[::-1]
+
+
+def _resize_pixels_nearest(px, target_w: int, target_h: int):
+    """Nearest-neighbor resample — the same pixel-center index map
+    (floor((i + 0.5) * src/dst)) Pillow uses for Image.NEAREST."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = np.minimum(((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1)
+    return px[ys][:, xs]
+
+
+def make_bmp_bytes(width: int, height: int, seed: int) -> bytes:
+    """Deterministic real BMP: a seeded RGB gradient pattern."""
+    import numpy as np
+
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    r = (x * 7 + seed * 13) % 256
+    g = (y * 11 + seed * 17) % 256
+    b = (x + y + seed) % 256
+    return encode_bmp(np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8))
+
+
 def _decode_header(content: bytes) -> tuple[int | None, int | None, str]:
     """Decode image dimensions + format.
 
-    The deterministic FIMG fake format is always recognized (so tests
-    and fixtures behave identically whether or not Pillow happens to be
-    installed). Anything else goes through Pillow when it is available;
-    without Pillow, unknown content stays (None, None, 'unknown') —
-    never an exception, so one bad blob can't kill a 100 TB scan.
+    The deterministic FIMG fake format and 24-bit BMP (decoded by the
+    built-in codec above) are always recognized, so tests and fixtures
+    behave identically whether or not Pillow happens to be installed.
+    Anything else goes through Pillow when it is available; without
+    Pillow, unknown content stays (None, None, 'unknown') — never an
+    exception, so one bad blob can't kill a 100 TB scan.
     """
     if content and content[:4] == _FAKE_MAGIC and len(content) >= 8:
         w, h = struct.unpack("<HH", content[4:8])
         return int(w), int(h), "fimg"
+    if content and content[:2] == _BMP_MAGIC and len(content) >= _BMP_HEADER_SIZE:
+        px = decode_bmp(content)
+        if px is not None:
+            return int(px.shape[1]), int(px.shape[0]), "bmp"
     if _HAS_PIL and content:  # pragma: no cover - codec absent in this container
         import io
 
@@ -138,11 +229,19 @@ RESIZED_SCHEMA = StructType(
 
 
 def _resize_blob(blob: bytes, target_w: int, target_h: int) -> bytes | None:
-    """FIMG fakes are header-rewritten; real formats go through Pillow
-    (decode -> resample -> re-encode PNG) when it is available; anything
-    undecodable maps to NULL rather than raising."""
+    """FIMG fakes are header-rewritten; 24-bit BMPs take the built-in
+    pixel-true path (decode -> nearest-neighbor resample -> re-encode
+    BMP, no external codec); other real formats go through Pillow
+    (decode -> resample -> re-encode PNG) when it is available;
+    anything undecodable maps to NULL rather than raising."""
     if blob[:4] == _FAKE_MAGIC:
         return _FAKE_MAGIC + struct.pack("<HH", target_w, target_h) + blob[8:]
+    if blob[:2] == _BMP_MAGIC:
+        px = decode_bmp(blob)
+        if px is not None:
+            return encode_bmp(_resize_pixels_nearest(px, target_w, target_h))
+        # fall through: a BMP variant we don't decode (e.g. 8-bit,
+        # RLE) can still go through Pillow below
     if _HAS_PIL and blob:  # pragma: no cover - codec absent in this container
         import io
 
