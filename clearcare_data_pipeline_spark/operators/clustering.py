@@ -92,6 +92,76 @@ def kmeans_fit(
         d.unpersist()
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus with k-means, then inside
+    each cluster flag every vector whose cosine similarity to a
+    LOWER-id vector in the same cluster reaches ``threshold`` — the
+    lower id acts as the kept representative, so the rule is
+    deterministic and needs no transitive closure.
+
+    Output: one row per input vector — (id, cluster, is_dup).
+
+    Scale shape: the pairwise stage is an equi-join keyed on the
+    cluster id (one shuffle; never a global all-pairs product), so the
+    quadratic cost is confined within each cluster. At corpus scale,
+    ``k`` is chosen so clusters stay bounded (SemDeDup uses tens of
+    thousands of clusters for web corpora) — cost then grows linearly
+    with corpus size at fixed cluster width.
+    """
+    from clearcare_data_pipeline_spark.operators.similarity import (
+        cosine_expr,
+        with_norm,
+    )
+
+    _cents, assigned = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    d = (
+        with_norm(df, vec_col)
+        .select(id_col, "dvec", "norm")
+        .join(assigned, id_col)
+    )
+    a = d.select(
+        F.col(id_col).alias("_a_id"),
+        F.col("dvec").alias("_a_vec"),
+        F.col("norm").alias("_a_norm"),
+        "cluster",
+    )
+    b = d.select(
+        F.col(id_col).alias("_b_id"),
+        F.col("dvec").alias("_b_vec"),
+        F.col("norm").alias("_b_norm"),
+        "cluster",
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .where(F.col("_a_id") < F.col("_b_id"))
+        .where(
+            F.round(
+                cosine_expr(
+                    F.col("_a_vec"), F.col("_b_vec"), F.col("_a_norm"), F.col("_b_norm")
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        d.select(id_col, "cluster")
+        .join(dup_ids, id_col, "left")
+        .select(id_col, "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
 def kmeans_oracle_sql(table: str, vec_col: str, id_col: str, k: int, iters: int) -> str:
     """DuckDB twin of ``kmeans_fit`` for the correctness gate: the
     same deterministic iterations as chained CTEs (assignment via a

@@ -342,6 +342,64 @@ QUERIES["emb_kmeans_clusters"] = q_emb_kmeans_clusters
 ORACLES["emb_kmeans_clusters"] = _kmeans_oracle()
 
 
+# --- SemDeDup: cluster-partitioned semantic deduplication ---------------
+
+_SEMDEDUP_THRESHOLD = 0.99
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a planted-copy corpus: k-means partitions the
+    space, then within each cluster any vector with cosine >= 0.99 to
+    a lower-id vector is flagged as a semantic duplicate (the lower id
+    is the kept representative). The planted exact copies (cos = 1.0,
+    same cluster by determinism) are what the flag must catch."""
+    from clearcare_data_pipeline_spark.operators.clustering import semantic_dedup
+
+    vecs = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = vecs.where(F.col("vec_id") % _NEAR_DUP_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return semantic_dedup(
+        vecs.unionByName(copies),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+def _semdedup_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.clustering import kmeans_oracle_sql
+
+    kmeans = kmeans_oracle_sql(
+        "corpus", "embedding", "vec_id", _KMEANS_K, _KMEANS_ITERS
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {_NEAR_DUP_MOD} = 0
+),
+assign AS (SELECT vec_id, cluster FROM ({kmeans})),
+n AS (
+  SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm
+  FROM (SELECT vec_id, {_DV} AS dv FROM corpus)
+),
+d AS (SELECT n.vec_id, n.dv, n.nrm, a.cluster FROM n JOIN assign a USING (vec_id)),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM d a JOIN d b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round({_dot('a.dv', 'b.dv')} / (a.nrm * b.nrm), 6) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT d.vec_id, d.cluster, (dp.vec_id IS NOT NULL) AS is_dup
+FROM d LEFT JOIN dups dp ON d.vec_id = dp.vec_id
+"""
+
+
+QUERIES["emb_semantic_dedup"] = q_emb_semantic_dedup
+ORACLES["emb_semantic_dedup"] = _semdedup_oracle()
+
+
 # --- ANN quality evaluation: recall@k of IVF vs brute force --------------
 
 

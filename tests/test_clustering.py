@@ -51,3 +51,30 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     cents, assigned = kmeans_fit(df, k=2, iters=2)
     got = {r.vec_id: r.cluster for r in assigned.collect()}
     assert got[2] != got[1]
+
+
+def test_semantic_dedup_flags_planted_copies(spark):
+    """Exact copies (cos = 1.0) land in the same cluster and must be
+    the flagged duplicates; the lower-id originals are kept."""
+    from pyspark.sql import functions as F
+
+    from clearcare_data_pipeline_spark.operators.clustering import semantic_dedup
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    copies = vecs.where(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 500000
+    )
+    out = semantic_dedup(vecs.unionByName(copies), k=4, iters=2, threshold=0.99)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n_originals = vecs.count()
+    assert len(rows) == n_originals + copies.count()
+    for r in rows.values():
+        if r["vec_id"] >= 500000:
+            assert r["is_dup"], f"planted copy {r['vec_id']} not flagged"
+            # copy shares its original's cluster
+            assert r["cluster"] == rows[r["vec_id"] - 500000]["cluster"]
+        else:
+            assert not r["is_dup"], f"original {r['vec_id']} wrongly flagged"
