@@ -193,9 +193,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderdate + 60 days) — TPC-H Q21's EXISTS / NOT-EXISTS pair,
     restated as per-order supplier statistics: exists(other supplier)
     == distinct suppliers > 1; not exists(other late supplier) ==
-    distinct late suppliers == 1. One groupBy over lineitem computes
-    both, then a keyed join back — two shuffles total instead of two
-    correlated re-scans."""
+    distinct late suppliers == 1.
+
+    Shape: ONE (l_orderkey, l_suppkey) aggregate is the shared subtree
+    both consumers read — order-level stats become plain count/sum over
+    it (no countDistinct expand), and the blamed set is a filter on it.
+    Identical subtree -> Spark reuses the exchange instead of
+    recomputing the lineitem-orders join per branch."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -205,19 +209,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")).cast("int"),
     )
-    order_stats = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    # One explicit shuffle on l_orderkey up front: HashPartitioning(ok)
+    # satisfies the clustering of BOTH downstream aggregates (ok, sk)
+    # and (ok) and co-locates the semi join — 1 big shuffle instead of 3.
+    per_supp = (
+        lines.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
     )
-    blamed = (
-        lines.where(F.col("is_late") == 1)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            order_stats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-            "left_semi",
-        )
+    order_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late_supp"),
+    )
+    blamed = per_supp.where(F.col("late") == 1).join(
+        order_stats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+        "l_orderkey",
+        "left_semi",
     )
     nat = nation.where(F.col("n_name") == _Q21_NATION)
     agg = (
