@@ -415,3 +415,43 @@ def test_replayed_batches_are_noops(spark, tmp_path):
         (r.k, r.n, float(r.total)) for r in read_merge_target(spark, itarget).collect()
     )
     assert agg_after == agg_before
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: streamed events pick up
+    dimension attributes; unmatched keys survive (left join) with
+    NULLs; no state store is involved."""
+    import json as _json
+
+    from clearcare_data_pipeline_spark.streaming.joins import enrich_stream
+
+    inp, out, chk = str(tmp_path / "sin"), str(tmp_path / "sout"), str(tmp_path / "schk")
+    (tmp_path / "sin").mkdir()
+    events = [
+        {"user_id": 1, "event_type": "view"},
+        {"user_id": 2, "event_type": "purchase"},
+        {"user_id": 99, "event_type": "view"},  # no dim row
+    ]
+    (tmp_path / "sin" / "e.json").write_text("\n".join(_json.dumps(e) for e in events))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+    stream = spark.readStream.schema("user_id BIGINT, event_type STRING").json(inp)
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["tier"] == "gold"
+    assert rows[2]["tier"] == "silver"
+    assert rows[99]["tier"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        enrich_stream(stream, dim, ["user_id"], how="full")
