@@ -4,8 +4,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Methodology (VERDICT r4 ask #1):
-* every query runs ``N_RUNS`` (>=3) times; ``queries``/``extended``
-  report the per-query MEDIAN and ``spread`` the max-min range, so
+* every query gets one untimed warmup (absorbs plan compilation /
+  codegen) then ``N_RUNS`` (5) timed runs; ``queries``/``extended``
+  report the per-query MEDIAN and ``spread`` the max-min of the middle
+  ``N_RUNS - 2`` runs (single GC/scheduler outliers on sub-second
+  queries would otherwise dominate an untrimmed range), so
   round-over-round deltas are readable above local[32] scheduler noise;
 * the charges stage-checkpoint is built before timing: ``derivation_cold_sec``
   is the one-time build cost this process actually paid (0-ish when the
@@ -30,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from clearcare_data_pipeline_spark.session import get_spark  # noqa: E402
 
-N_RUNS = 3
+N_RUNS = 5
 
 # Newer operators benched under their own key so the headline total
 # stays comparable across rounds (BASELINE.md / BENCH_r01).
@@ -45,6 +48,8 @@ EXTENDED = [
     # VERDICT r4 ask #4: the IVF ANN family gets numbers
     "emb_ivf_topk",
     "emb_ann_recall",
+    # r5 addition: SemDeDup (cluster-partitioned semantic dedup)
+    "emb_semantic_dedup",
 ]
 
 HEADLINE = [
@@ -77,6 +82,13 @@ def _time_runs(fn, n: int = N_RUNS) -> list[float]:
         fn()
         out.append(time.time() - t0)
     return out
+
+
+def _trimmed_spread(runs: list[float]) -> float:
+    """Max-min after dropping the single fastest and slowest run —
+    the dispersion of the runs that actually determine the median."""
+    mid = sorted(runs)[1:-1] if len(runs) > 2 else sorted(runs)
+    return mid[-1] - mid[0]
 
 
 def _materialize(df) -> None:
@@ -204,7 +216,7 @@ def main() -> None:
             continue
         runs = _time_runs(lambda: _materialize(queries[name](spark, sf_dir)))
         timings[name] = round(statistics.median(runs), 3)
-        spreads[name] = round(max(runs) - min(runs), 3)
+        spreads[name] = round(_trimmed_spread(runs), 3)
 
     ext_timings: dict[str, float] = {}
     for name in EXTENDED:
@@ -212,7 +224,7 @@ def main() -> None:
             continue
         runs = _time_runs(lambda: _materialize(queries[name](spark, sf_dir)))
         ext_timings[name] = round(statistics.median(runs), 3)
-        spreads[name] = round(max(runs) - min(runs), 3)
+        spreads[name] = round(_trimmed_spread(runs), 3)
 
     skew_demo = _skew_demo(spark, sf_dir)
 

@@ -68,21 +68,23 @@ def kmeans_fit(
         dim = len(centroids[0])
         for _ in range(iters):
             assigned = d.withColumn("cluster", assign_expr(F.col("dvec"), centroids))
+            # Per-dimension means via posexplode + (cluster, pos) agg:
+            # ONE sum/count pair instead of `dim` separate aggregate
+            # columns, so the expression tree (and per-iteration plan
+            # compilation) is constant-size in the vector dimension.
+            # Values are identical: the same DECIMAL partial sums, just
+            # keyed long-format instead of wide.
             stats = (
-                assigned.groupBy("cluster")
+                assigned.select("cluster", F.posexplode("dvec").alias("pos", "v"))
+                .groupBy("cluster", "pos")
                 .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        (
-                            F.sum(F.element_at("dvec", i + 1).cast(_SUM_DEC)).cast("double")
-                            / F.count(F.lit(1))
-                        ).alias(f"m{i}")
-                        for i in range(dim)
-                    ],
+                    (F.sum(F.col("v").cast(_SUM_DEC)).cast("double") / F.count(F.lit(1))).alias("m")
                 )
                 .collect()
             )
-            means = {r.cluster: [r[f"m{i}"] for i in range(dim)] for r in stats}
+            means: dict[int, list] = {}
+            for r in stats:
+                means.setdefault(r.cluster, [None] * dim)[r.pos] = r.m
             centroids = [means.get(c, centroids[c]) for c in range(k)]
         final = d.withColumn("cluster", assign_expr(F.col("dvec"), centroids)).select(
             id_col, "cluster"
@@ -122,10 +124,16 @@ def semantic_dedup(
     )
 
     _cents, assigned = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    # Persisted: three consumers below (both pairwise sides + the final
+    # projection) would otherwise each re-run the scan -> assignment
+    # chain. MLlib-style tradeoff — the cache is LRU-evicted; rows are
+    # (id, vec, norm, cluster), the same width the pairwise stage needs
+    # anyway.
     d = (
         with_norm(df, vec_col)
         .select(id_col, "dvec", "norm")
         .join(assigned, id_col)
+        .persist()
     )
     a = d.select(
         F.col(id_col).alias("_a_id"),

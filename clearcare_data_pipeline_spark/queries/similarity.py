@@ -345,6 +345,11 @@ ORACLES["emb_kmeans_clusters"] = _kmeans_oracle()
 # --- SemDeDup: cluster-partitioned semantic deduplication ---------------
 
 _SEMDEDUP_THRESHOLD = 0.99
+# More clusters than the kmeans demo: SemDeDup's whole point is that a
+# fine partition bounds the within-cluster quadratic stage (k scales
+# with corpus size so cluster width stays constant).
+_SEMDEDUP_K = 16
+_SEMDEDUP_ITERS = 2
 
 
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,8 +366,8 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semantic_dedup(
         vecs.unionByName(copies),
-        k=_KMEANS_K,
-        iters=_KMEANS_ITERS,
+        k=_SEMDEDUP_K,
+        iters=_SEMDEDUP_ITERS,
         threshold=_SEMDEDUP_THRESHOLD,
     )
 
@@ -371,7 +376,7 @@ def _semdedup_oracle() -> str:
     from clearcare_data_pipeline_spark.operators.clustering import kmeans_oracle_sql
 
     kmeans = kmeans_oracle_sql(
-        "corpus", "embedding", "vec_id", _KMEANS_K, _KMEANS_ITERS
+        "corpus", "embedding", "vec_id", _SEMDEDUP_K, _SEMDEDUP_ITERS
     )
     return f"""
 WITH corpus AS (
