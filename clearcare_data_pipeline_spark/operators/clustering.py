@@ -147,27 +147,35 @@ def semantic_dedup(
         F.col("norm").alias("_b_norm"),
         "cluster",
     )
-    dup_ids = (
-        a.join(b, "cluster")
-        .where(F.col("_a_id") < F.col("_b_id"))
-        .where(
-            F.round(
-                cosine_expr(
-                    F.col("_a_vec"), F.col("_b_vec"), F.col("_a_norm"), F.col("_b_norm")
-                ),
-                6,
+    try:
+        dup_ids = (
+            a.join(b, "cluster")
+            .where(F.col("_a_id") < F.col("_b_id"))
+            .where(
+                F.round(
+                    cosine_expr(
+                        F.col("_a_vec"), F.col("_b_vec"), F.col("_a_norm"), F.col("_b_norm")
+                    ),
+                    6,
+                )
+                >= threshold
             )
-            >= threshold
+            .select(F.col("_b_id").alias(id_col))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
         )
-        .select(F.col("_b_id").alias(id_col))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
-    return (
-        d.select(id_col, "cluster")
-        .join(dup_ids, id_col, "left")
-        .select(id_col, "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
-    )
+        out = (
+            d.select(id_col, "cluster")
+            .join(dup_ids, id_col, "left")
+            .select(id_col, "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        )
+        # Eagerly materialize the (id, cluster, is_dup) result — strictly
+        # narrower than the persisted join input — so ``d``'s cache can be
+        # released before returning instead of leaking for the session
+        # lifetime (ADVICE r5).
+        return out.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()
 
 
 def kmeans_oracle_sql(table: str, vec_col: str, id_col: str, k: int, iters: int) -> str:

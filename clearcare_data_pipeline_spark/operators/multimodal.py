@@ -132,6 +132,10 @@ def decode_bmp(blob: bytes):
     planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
     if header_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
         return None
+    # A data_offset pointing inside the headers would silently "decode"
+    # header bytes as pixels (ADVICE r5) — malformed, reject.
+    if data_offset < 14 + header_size:
+        return None
     top_down = h < 0
     h = abs(h)
     row_bytes = w * 3

@@ -34,12 +34,15 @@ _CLEANED_CKPT: dict[str, str] = {}
 
 def _cleaned_version_key() -> str:
     """Content key for the cleaned checkpoint: the derivation SQL plus
-    the source of the whole cleaning chain (pipeline.clean_charges and
-    the column expressions it composes). Any edit to either yields a
-    new cache directory, so stale cleaned results can never be served."""
+    the source of the whole cleaning chain (pipeline.clean_charges, the
+    column expressions it composes, and the schema module whose
+    CANONICAL_COLUMNS drives ensure_columns and the dedup key set —
+    ADVICE r5). Any edit to any of them yields a new cache directory,
+    so stale cleaned results can never be served."""
     import inspect
 
     from clearcare_data_pipeline_spark import pipeline as pipeline_mod
+    from clearcare_data_pipeline_spark import schema as schema_mod
     from clearcare_data_pipeline_spark.functions import cleaning as cleaning_mod
     from clearcare_data_pipeline_spark.sources.charges import _CHARGES_SQL_TEMPLATE
 
@@ -49,6 +52,7 @@ def _cleaned_version_key() -> str:
             _CHARGES_SQL_TEMPLATE,
             inspect.getsource(pipeline_mod),
             inspect.getsource(cleaning_mod),
+            inspect.getsource(schema_mod),
         ]
     )
 

@@ -287,9 +287,16 @@ def ensure_stage_cached(path: str, build) -> str:
                 pass
             else:
                 # stale/incomplete directory squatting the path —
-                # replace it with the known-good fresh build
+                # replace it with the known-good fresh build. The
+                # rmtree->rename window can race a concurrent repairer
+                # or builder (ADVICE r5): re-apply the same
+                # accept-a-complete-winner rule instead of raising.
                 shutil.rmtree(path, ignore_errors=True)
-                os.rename(tmp, path)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                        raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path

@@ -53,6 +53,20 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert got[2] != got[1]
 
 
+def test_semantic_dedup_releases_cache(spark):
+    """ADVICE r5: semantic_dedup must not leak its persisted join input
+    for the session lifetime; at most the narrow eager checkpoint of the
+    (id, cluster, is_dup) result may remain."""
+    from clearcare_data_pipeline_spark.operators.clustering import semantic_dedup
+
+    df = spark.createDataFrame(_vec_rows(), ["vec_id", "embedding"])
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = semantic_dedup(df, k=2, iters=1)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1
+    assert out.count() == len(_vec_rows())
+
+
 def test_semantic_dedup_flags_planted_copies(spark):
     """Exact copies (cos = 1.0) land in the same cluster and must be
     the flagged duplicates; the lower-id originals are kept."""

@@ -208,3 +208,18 @@ def test_bmp_garbage_variants():
     assert decode_bmp(bytes(eight_bit)) is None
     w, h, fmt = _decode_header(good[:-8])
     assert fmt == "unknown" and w is None
+
+
+def test_bmp_rejects_header_interior_data_offset():
+    """ADVICE r5: a crafted data_offset pointing inside the headers must
+    be rejected, not silently decoded as garbage pixels."""
+    import struct as _struct
+
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px) + b"\x00" * 64)  # keep body-length check satisfied
+    _struct.pack_into("<I", blob, 10, 20)  # offset inside the 54-byte headers
+    assert decode_bmp(bytes(blob)) is None

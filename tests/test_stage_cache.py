@@ -76,6 +76,44 @@ def test_race_loser_keeps_winners_complete_copy(tmp_path):
     assert [n for n in os.listdir(tmp_path) if ".tmp-" in n] == []
 
 
+def test_stale_repair_race_accepts_concurrent_winner(tmp_path, monkeypatch):
+    """ADVICE r5: a concurrent winner installing a complete copy inside
+    the stale-repair rmtree->rename window must be accepted, not crash
+    the repairer with ENOTEMPTY."""
+    from clearcare_data_pipeline_spark.sources import charges as charges_mod
+
+    path = str(tmp_path / "stage-race")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0"), "w") as f:
+        f.write("stale")  # no _SUCCESS -> repair path runs
+
+    real_rmtree = charges_mod.shutil.rmtree
+
+    def rmtree_then_winner(target, **kw):
+        real_rmtree(target, **kw)
+        if target == path:
+            # winner lands a complete copy in the window before our rename
+            _success_build("winner")(path)
+
+    monkeypatch.setattr(charges_mod.shutil, "rmtree", rmtree_then_winner)
+    ensure_stage_cached(path, _success_build("loser"))
+    with open(os.path.join(path, "part-0")) as f:
+        assert f.read() == "winner"
+    assert [n for n in os.listdir(tmp_path) if ".tmp-" in n] == []
+
+
+def test_cleaned_version_key_tracks_schema_module():
+    """ADVICE r5: the cleaned-stage cache key must include the schema
+    module (CANONICAL_COLUMNS drives ensure_columns and the dedup key),
+    so editing it invalidates the cross-process checkpoint."""
+    import inspect
+
+    from clearcare_data_pipeline_spark import schema
+    from clearcare_data_pipeline_spark.queries.charges import _cleaned_version_key
+
+    assert inspect.getsource(schema) in _cleaned_version_key()
+
+
 def test_build_failure_cleans_tmp_and_propagates(tmp_path):
     path = str(tmp_path / "stage-d")
 

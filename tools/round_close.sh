@@ -14,9 +14,10 @@
 # Each step fails the script so a red artifact never silently ships.
 set -e
 N="${1:?usage: sh tools/round_close.sh <round-number>}"
+R=$(printf 'r%02d' "$N")
 
 python -m pytest tests/ -q
-python tools/verify_local.py --out "CORRECTNESS_LOCAL_r0${N}.json" /root/testdata/sf0.01
+python tools/verify_local.py --out "CORRECTNESS_LOCAL_${R}.json" /root/testdata/sf0.01
 python tools/plan_audit.py /root/testdata/sf0.01
-python bench.py > "BENCH_local_r0${N}.json"
-echo "round ${N} artifacts refreshed: CORRECTNESS_LOCAL_r0${N}.json PLAN_AUDIT.md BENCH_local_r0${N}.json"
+python bench.py > "BENCH_local_${R}.json"
+echo "round ${N} artifacts refreshed: CORRECTNESS_LOCAL_${R}.json PLAN_AUDIT.md BENCH_local_${R}.json"
