@@ -20,8 +20,6 @@ Determinism (required by the DuckDB oracle twin):
 - empty clusters keep their previous centroid.
 """
 
-from __future__ import annotations
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,29 +50,88 @@ def assign_expr(dvec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(pairs).getField("cluster")
 
 
+# Above this many k x dim distance cells the interpreted higher-order
+# -function assignment is replaced by the Arrow-batched vectorized one
+# (measured on local[32], n=20k dim=64: k=632 literal path 26 s/pass,
+# vectorized < 1 s). Both paths are bit-identical (see _assign_pandas).
+_ASSIGN_UDF_MIN_CELLS = 8192
+
+
+def _assign_pandas(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment for large k — the
+    scale path that keeps flat Lloyd's affordable when k grows with
+    corpus size (SemDeDup auto-k).
+
+    Bit-identical to ``assign_expr`` and the DuckDB oracle by
+    construction: the squared distance is accumulated dimension-by-
+    dimension (``acc = acc + (x_d - c_d)^2`` across the whole batch),
+    which performs float64 operations in exactly the fold-left order of
+    ``F.aggregate``/``list_reduce`` — not numpy's pairwise ``sum`` —
+    and ``argmin`` breaks exact ties on the lowest index, matching the
+    (distance, cluster) struct ordering. So the UDF/literal switch can
+    never change a result, only its speed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim) — closure-shipped
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(v.to_numpy())  # (batch, dim) float64
+        acc = np.zeros((x.shape[0], cmat.shape[0]))
+        for d in range(cmat.shape[1]):
+            diff = x[:, d, None] - cmat[None, :, d]
+            acc = acc + diff * diff
+        return pd.Series(np.argmin(acc, axis=1).astype("int32"))
+
+    return assign
+
+
+def _assign_col(dvec: Column, centroids: list[list[float]]) -> Column:
+    if len(centroids) * len(centroids[0]) >= _ASSIGN_UDF_MIN_CELLS:
+        return _assign_pandas(centroids)(dvec)
+    return assign_expr(dvec, centroids)
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 4,
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    stats: dict | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
-    """Run ``iters`` Lloyd's iterations; returns (centroids,
-    assignments DataFrame(id_col, cluster))."""
+    """Run up to ``iters`` Lloyd's iterations; returns (centroids,
+    assignments DataFrame(id_col, cluster)).
+
+    Early stop (VERDICT r5 #3): when an update leaves every centroid
+    EXACTLY unchanged (float equality), the algorithm is at a fixed
+    point — every further iteration would recompute the identical
+    assignment and means — so the loop breaks. Because the stop fires
+    only at exact convergence, the result is bit-identical to running
+    all ``iters`` iterations, and the fixed-iteration DuckDB oracle
+    replay stays valid with no epsilon to keep in sync. Pass ``stats``
+    to observe ``{"iterations": <executed>}``.
+    """
     d = df.select(id_col, as_double_vec(F.col(vec_col)).alias("dvec")).persist()
     try:
         init_rows = d.orderBy(id_col).limit(k).collect()
         centroids = [list(r.dvec) for r in init_rows]
         dim = len(centroids[0])
+        executed = 0
         for _ in range(iters):
-            assigned = d.withColumn("cluster", assign_expr(F.col("dvec"), centroids))
+            assigned = d.withColumn("cluster", _assign_col(F.col("dvec"), centroids))
             # Per-dimension means via posexplode + (cluster, pos) agg:
             # ONE sum/count pair instead of `dim` separate aggregate
             # columns, so the expression tree (and per-iteration plan
             # compilation) is constant-size in the vector dimension.
             # Values are identical: the same DECIMAL partial sums, just
             # keyed long-format instead of wide.
-            stats = (
+            rows = (
                 assigned.select("cluster", F.posexplode("dvec").alias("pos", "v"))
                 .groupBy("cluster", "pos")
                 .agg(
@@ -83,10 +140,16 @@ def kmeans_fit(
                 .collect()
             )
             means: dict[int, list] = {}
-            for r in stats:
+            for r in rows:
                 means.setdefault(r.cluster, [None] * dim)[r.pos] = r.m
-            centroids = [means.get(c, centroids[c]) for c in range(k)]
-        final = d.withColumn("cluster", assign_expr(F.col("dvec"), centroids)).select(
+            new_centroids = [means.get(c, centroids[c]) for c in range(k)]
+            executed += 1
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
+        if stats is not None:
+            stats["iterations"] = executed
+        final = d.withColumn("cluster", _assign_col(F.col("dvec"), centroids)).select(
             id_col, "cluster"
         )
         return centroids, final
@@ -94,13 +157,31 @@ def kmeans_fit(
         d.unpersist()
 
 
+# Target k-means cluster width for SemDeDup's auto-derived k. With
+# k = ceil(n / width) the within-cluster pairwise stage stays linear in
+# corpus size (n x width / 2 comparisons), and the vectorized
+# assignment path (_assign_pandas) keeps the n x k distance stage
+# affordable as k grows.
+SEMDEDUP_TARGET_WIDTH = 32
+
+
+def derive_k(n: int, target_width: int = SEMDEDUP_TARGET_WIDTH) -> int:
+    """k = ceil(n / target_width) — the SemDeDup scaling rule (VERDICT
+    r5 #2): cluster count grows with the corpus so cluster width, and
+    with it the per-cluster quadratic cost, stays constant."""
+    import math
+
+    return max(1, int(math.ceil(n / float(target_width))))
+
+
 def semantic_dedup(
     df: DataFrame,
-    k: int = 4,
+    k: int | None = None,
     iters: int = 3,
     threshold: float = 0.99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_width: int = SEMDEDUP_TARGET_WIDTH,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus with k-means, then inside
@@ -113,16 +194,22 @@ def semantic_dedup(
 
     Scale shape: the pairwise stage is an equi-join keyed on the
     cluster id (one shuffle; never a global all-pairs product), so the
-    quadratic cost is confined within each cluster. At corpus scale,
-    ``k`` is chosen so clusters stay bounded (SemDeDup uses tens of
-    thousands of clusters for web corpora) — cost then grows linearly
-    with corpus size at fixed cluster width.
+    quadratic cost is confined within each cluster. When ``k`` is None
+    (the default) it is derived as ceil(n / target_width), so cluster
+    width — and with it the per-cluster quadratic cost — stays constant
+    as the corpus grows (SemDeDup uses tens of thousands of clusters
+    for web corpora); total pairwise cost is then linear in n. The
+    derived k is deterministic (a pure function of the corpus row
+    count), so the DuckDB oracle twin recomputes the identical k from
+    the same count.
     """
     from clearcare_data_pipeline_spark.operators.similarity import (
         cosine_expr,
         with_norm,
     )
 
+    if k is None:
+        k = derive_k(df.count(), target_width)
     _cents, assigned = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     # Persisted: three consumers below (both pairwise sides + the final
     # projection) would otherwise each re-run the scan -> assignment
@@ -178,21 +265,29 @@ def semantic_dedup(
         d.unpersist()
 
 
-def kmeans_oracle_sql(table: str, vec_col: str, id_col: str, k: int, iters: int) -> str:
+def kmeans_oracle_sql(
+    table: str, vec_col: str, id_col: str, k: int | str, iters: int
+) -> str:
     """DuckDB twin of ``kmeans_fit`` for the correctness gate: the
     same deterministic iterations as chained CTEs (assignment via a
     row_number window over the e-x-centroid distance cross join,
     centroid update via unnest + decimal-summed per-dimension means,
-    empty clusters inheriting the previous centroid)."""
+    empty clusters inheriting the previous centroid).
+
+    ``k`` may be an int or a SQL scalar expression over ``e`` (e.g. the
+    SemDeDup auto-k ``ceil(count/width)``), so the oracle derives the
+    same k from the same corpus the Spark side counts."""
     dist = (
         "list_reduce(list_transform(range(1, len(e.dvec) + 1), "
         "i -> (e.dvec[i] - c.cvec[i]) * (e.dvec[i] - c.cvec[i])), (a, b) -> a + b)"
     )
+    k_expr = str(k) if isinstance(k, int) else f"(SELECT {k} FROM e)"
     parts = [
         f"e AS (SELECT {id_col} AS vid, "
         f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS dvec FROM {table})",
-        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cluster, "
-        f"dvec AS cvec FROM e ORDER BY vid LIMIT {k})",
+        f"c0 AS (SELECT cluster, cvec FROM ("
+        f"SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cluster, "
+        f"dvec AS cvec FROM e) WHERE cluster < {k_expr})",
     ]
     prev = "c0"
     for it in range(1, iters + 1):

@@ -345,10 +345,6 @@ ORACLES["emb_kmeans_clusters"] = _kmeans_oracle()
 # --- SemDeDup: cluster-partitioned semantic deduplication ---------------
 
 _SEMDEDUP_THRESHOLD = 0.99
-# More clusters than the kmeans demo: SemDeDup's whole point is that a
-# fine partition bounds the within-cluster quadratic stage (k scales
-# with corpus size so cluster width stays constant).
-_SEMDEDUP_K = 16
 _SEMDEDUP_ITERS = 2
 
 
@@ -357,7 +353,12 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     space, then within each cluster any vector with cosine >= 0.99 to
     a lower-id vector is flagged as a semantic duplicate (the lower id
     is the kept representative). The planted exact copies (cos = 1.0,
-    same cluster by determinism) are what the flag must catch."""
+    same cluster by determinism) are what the flag must catch.
+
+    k is auto-derived as ceil(n / SEMDEDUP_TARGET_WIDTH) (VERDICT r5
+    #2) so cluster width — and the per-cluster quadratic stage — stays
+    constant as the corpus scales; the oracle recomputes the identical
+    k from the same count."""
     from clearcare_data_pipeline_spark.operators.clustering import semantic_dedup
 
     vecs = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -366,17 +367,23 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semantic_dedup(
         vecs.unionByName(copies),
-        k=_SEMDEDUP_K,
+        k=None,
         iters=_SEMDEDUP_ITERS,
         threshold=_SEMDEDUP_THRESHOLD,
     )
 
 
 def _semdedup_oracle() -> str:
-    from clearcare_data_pipeline_spark.operators.clustering import kmeans_oracle_sql
+    from clearcare_data_pipeline_spark.operators.clustering import (
+        SEMDEDUP_TARGET_WIDTH,
+        kmeans_oracle_sql,
+    )
 
+    k_sql = (
+        f"CAST(greatest(1, ceil(count(*) / {float(SEMDEDUP_TARGET_WIDTH)})) AS INT)"
+    )
     kmeans = kmeans_oracle_sql(
-        "corpus", "embedding", "vec_id", _SEMDEDUP_K, _SEMDEDUP_ITERS
+        "corpus", "embedding", "vec_id", k_sql, _SEMDEDUP_ITERS
     )
     return f"""
 WITH corpus AS (

@@ -53,6 +53,57 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert got[2] != got[1]
 
 
+def test_kmeans_early_stop_is_exact(spark):
+    """VERDICT r5 #3: once an update leaves every centroid exactly
+    unchanged the loop stops, and the result is bit-identical to the
+    fixed-iteration run the oracle replays."""
+    df = spark.createDataFrame(_vec_rows(), ["vec_id", "embedding"])
+    stats = {}
+    cents10, assigned10 = kmeans_fit(df, k=2, iters=10, stats=stats)
+    assert stats["iterations"] < 10  # two tight blobs converge immediately
+    cents2, assigned2 = kmeans_fit(df, k=2, iters=2)
+    assert cents10 == cents2
+    assert sorted(map(tuple, assigned10.collect())) == sorted(
+        map(tuple, assigned2.collect())
+    )
+
+
+def test_assign_udf_bit_identical_to_literal_path(spark):
+    """The Arrow-batched large-k assignment must agree with the
+    interpreted fold path everywhere, including exact ties (duplicate
+    centroids -> lowest index wins in both)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clearcare_data_pipeline_spark.operators.clustering import (
+        _assign_pandas,
+        assign_expr,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    cents = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(9)]
+    cents[7] = list(cents[2])  # exact tie: both paths must pick index 2
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    both = df.select(
+        "vec_id",
+        assign_expr(F.col("embedding"), cents).alias("lit"),
+        _assign_pandas(cents)(F.col("embedding")).alias("udf"),
+    )
+    assert both.where(F.col("lit") != F.col("udf")).count() == 0
+    assert both.where(F.col("lit") == 7).count() == 0  # tie went to 2
+
+
+def test_semantic_dedup_derive_k():
+    from clearcare_data_pipeline_spark.operators.clustering import derive_k
+
+    assert derive_k(510) == 16  # the sf0.01 corpus keeps its round-5 k
+    assert derive_k(1) == 1
+    assert derive_k(2040) == 64
+    assert derive_k(0) == 1
+
+
 def test_semantic_dedup_releases_cache(spark):
     """ADVICE r5: semantic_dedup must not leak its persisted join input
     for the session lifetime; at most the narrow eager checkpoint of the
