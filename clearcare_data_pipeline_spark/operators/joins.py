@@ -125,6 +125,112 @@ def range_join(
     return left.join(right, cond, how)
 
 
+def _char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-grams (1-based start positions, all exactly n chars);
+    empty array for strings shorter than n. Mirrors the DuckDB twin
+    ``list_transform(range(1, length(x) - (n-2)), i -> substring(x, i, n))``."""
+    idx = F.sequence(F.lit(1), F.length(col) - (n - 1))
+    return F.when(
+        F.length(col) >= n, F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_band_keys_expr(
+    text: Column, num_hashes: int = 6, rows_per_band: int = 2, ngram: int = 3
+) -> Column:
+    """LSH band keys for one string: array of (band, band_key) structs.
+
+    minhash_s = min over character n-grams of md5('s|' || gram) — the
+    same salted-hash permutation approximation as the document MinHash
+    (operators/dedup.py minhash_signatures), inlined per row because a
+    join key needs no posting-list aggregation. band_key = md5 of the
+    band's seed-ordered minhashes. md5 hex and lexicographic min are
+    engine-portable, so a DuckDB oracle reproduces the keys exactly."""
+    grams = _char_ngrams(text, ngram)
+
+    def _mh(salt: str) -> Column:
+        # NB: the lambda must stay arity-1 — pyspark's transform treats a
+        # two-argument lambda as (element, index) and would silently
+        # replace a default-arg salt with the element index.
+        return F.array_min(
+            F.transform(
+                grams, lambda g: F.md5(F.concat_ws("|", F.lit(salt), g).cast("binary"))
+            )
+        )
+
+    mins = [_mh(str(s)) for s in range(num_hashes)]
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        key = F.md5(
+            F.concat_ws(
+                "|", *mins[b * rows_per_band : (b + 1) * rows_per_band]
+            ).cast("binary")
+        )
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return F.array(*bands)
+
+
+def banded_fuzzy_top1(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_text: str,
+    num_hashes: int = 6,
+    rows_per_band: int = 2,
+    ngram: int = 3,
+) -> DataFrame:
+    """Fuzzy top-1 left join at scale: J3's semantics (best match per
+    left row by edit distance, deterministic ties) with candidates from
+    character-n-gram MinHash LSH bands instead of a cross join — the
+    enrichment fuzzy join's 100 TB path (VERDICT r5 #6).
+
+    Plan shape: each side computes its band keys row-locally (no
+    shuffle), the candidate join is an equi-join on (band, band_key),
+    and the top-1 window runs per left id. Nothing is quadratic in
+    either input; hot band keys (many rows sharing a signature) bound
+    the blowup exactly like LSH dedup buckets. Left rows whose true
+    best match shares no band surface as NULL (a recall miss, tunable
+    via num_hashes/rows_per_band) rather than silently wrong — and the
+    oracle twin replays the identical banding, so the output is exact
+    for the gate.
+
+    Output: (left_id, left_text, matched, dist) — matched/dist NULL for
+    left rows with no banded candidate.
+    """
+    lb = left.select(
+        F.col(left_id).alias("_lid"),
+        F.col(left_text).alias("_ltext"),
+        F.explode(minhash_band_keys_expr(F.col(left_text), num_hashes, rows_per_band, ngram)).alias("_b"),
+    ).select("_lid", "_ltext", "_b.band", "_b.band_key")
+    rb = right.select(
+        F.col(right_text).alias("_rtext"),
+        F.explode(minhash_band_keys_expr(F.col(right_text), num_hashes, rows_per_band, ngram)).alias("_b"),
+    ).select("_rtext", "_b.band", "_b.band_key")
+    cands = (
+        lb.join(rb, ["band", "band_key"])
+        .select("_lid", "_ltext", "_rtext")
+        .distinct()
+    )
+    w = Window.partitionBy("_lid").orderBy(F.asc("dist"), F.asc("_rtext"))
+    best = (
+        cands.withColumn("dist", F.levenshtein("_ltext", "_rtext"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("_lid", F.col("_rtext").alias("matched"), F.col("dist").cast("long").alias("dist"))
+    )
+    return (
+        left.select(F.col(left_id).alias("_lid"), F.col(left_text).alias("_ltext"))
+        .join(best, "_lid", "left")
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_ltext").alias(left_text),
+            "matched",
+            "dist",
+        )
+    )
+
+
 def blocked_similarity_join(
     left: DataFrame,
     right: DataFrame,

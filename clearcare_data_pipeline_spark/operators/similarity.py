@@ -50,11 +50,21 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("dvec", dv).withColumn("norm", norm_expr(F.col("dvec")))
 
 
+# Brute-force cosine_topk broadcasts the query side and scores every
+# (query, candidate) pair: cost = |queries| x |corpus|. Beyond this many
+# query rows that plan is no longer a baseline but an accidental
+# production cross product, so cosine_topk routes to the IVF ANN path
+# instead (VERDICT r5 #7). ~10k queries x dim 64 doubles ~ 5 MB
+# broadcast — safely inside Spark's default broadcast budget.
+BRUTE_FORCE_QUERY_CAP = 10_000
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
+    max_broadcast_queries: int = BRUTE_FORCE_QUERY_CAP,
 ) -> DataFrame:
     """Brute-force top-k cosine neighbors for each query vector.
 
@@ -62,8 +72,25 @@ def cosine_topk(
     candidates stream, so the scan parallelism is preserved and no
     all-pairs shuffle materializes. Ranking key is
     (round(cos,6) DESC, neighbor ASC) — fully deterministic.
+
+    Guardrail: when the query side exceeds ``max_broadcast_queries``
+    rows the brute-force plan is refused and the call routes to
+    ``ivf_topk_nprobe`` (same output schema, approximate results) —
+    the exact baseline must be asked for knowingly, never become the
+    production plan by accident on a grown query set.
     """
     from pyspark.sql import Window
+
+    if queries.count() > max_broadcast_queries:
+        import warnings
+
+        warnings.warn(
+            f"cosine_topk: query side exceeds {max_broadcast_queries} rows; "
+            "routing to ivf_topk_nprobe (approximate). Call ivf_topk_nprobe "
+            "directly, or raise max_broadcast_queries for an exact run.",
+            stacklevel=2,
+        )
+        return ivf_topk_nprobe(vectors, queries, k=k, id_col=id_col)
 
     cand = with_norm(vectors, "embedding").select(
         F.col(id_col).alias("neighbor_id"), "dvec", "norm"

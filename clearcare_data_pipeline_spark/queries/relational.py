@@ -526,6 +526,78 @@ QUERIES["part_name_linkage"] = q_part_name_linkage
 ORACLES["part_name_linkage"] = _LINKAGE_ORACLE
 
 
+# --- LSH-banded fuzzy top-1 join (J3's 100 TB path) ----------------------
+
+
+def q_fuzzy_linkage_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3's fuzzy top-1 semantics over LSH-banded candidates instead of
+    a cross join (operators/joins.py banded_fuzzy_top1): noisy part
+    names match their best part-name candidate among rows sharing a
+    character-trigram MinHash band — keyed joins only, linear in both
+    sides. The oracle replays the identical banding, so recall misses
+    (NULL matches) are exact too."""
+    from clearcare_data_pipeline_spark.operators.joins import banded_fuzzy_top1
+
+    part = load_table(spark, sf_dir, "part")
+    noisy = part.select(
+        F.col("p_partkey").alias("qkey"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.concat(F.col("p_name"), F.lit("x")))
+        .alias("qname"),
+    )
+    names = part.select("p_name").distinct()
+    return banded_fuzzy_top1(noisy, names, "qkey", "qname", "p_name")
+
+
+def _banded_mh(s: int, t: str) -> str:
+    grams = f"list_transform(range(1, greatest(length({t}) - 1, 1)), i -> substring({t}, i, 3))"
+    return f"list_min(list_transform({grams}, g -> md5('{s}|' || g)))"
+
+
+def _banded_side(src: str, keys: str, t: str) -> str:
+    mhs = ", ".join(f"{_banded_mh(s, t)} AS mh{s}" for s in range(6))
+    return (
+        f"SELECT {keys} b.b AS band, CASE b.b "
+        f"WHEN 0 THEN md5(concat_ws('|', mh0, mh1)) "
+        f"WHEN 1 THEN md5(concat_ws('|', mh2, mh3)) "
+        f"ELSE md5(concat_ws('|', mh4, mh5)) END AS band_key "
+        f"FROM (SELECT {keys} {mhs} FROM {src}) CROSS JOIN (VALUES (0), (1), (2)) b(b)"
+    )
+
+
+_BANDED_FUZZY_ORACLE = f"""
+WITH noisy AS (
+  SELECT p_partkey AS qkey,
+    CASE WHEN p_partkey % 2 = 0 THEN substring(p_name, 1, length(p_name) - 1)
+         ELSE p_name || 'x' END AS qname
+  FROM part
+),
+names AS (SELECT DISTINCT p_name FROM part),
+lb AS ({_banded_side('noisy', 'qkey, qname,', 'qname')}),
+rb AS ({_banded_side('names', 'p_name,', 'p_name')}),
+cand AS (
+  SELECT DISTINCT lb.qkey, lb.qname, rb.p_name
+  FROM lb JOIN rb ON lb.band = rb.band AND lb.band_key = rb.band_key
+),
+best AS (
+  SELECT qkey, p_name, dist FROM (
+    SELECT qkey, p_name, levenshtein(qname, p_name) AS dist,
+      row_number() OVER (PARTITION BY qkey
+                         ORDER BY levenshtein(qname, p_name) ASC, p_name ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT n.qkey, n.qname, b.p_name AS matched, b.dist
+FROM noisy n LEFT JOIN best b ON n.qkey = b.qkey
+"""
+
+QUERIES["fuzzy_linkage_banded"] = q_fuzzy_linkage_banded
+ORACLES["fuzzy_linkage_banded"] = _BANDED_FUZZY_ORACLE
+
+
 # --- multiset set operations (EXCEPT ALL / INTERSECT ALL) ----------------
 
 

@@ -104,3 +104,37 @@ def test_asof_same_named_ts_columns(spark):
     )
     got2 = {r["trade"]: r["px"] for r in out2.collect()}
     assert got2 == {"t0": 100.0, "t1": 101.0, "t2": 102.0, "t3": None}
+
+
+def test_banded_fuzzy_top1_matches_and_plan(spark):
+    """The LSH-banded fuzzy join (J3 scale path) finds near-identical
+    names through shared trigram bands, leaves dissimilar rows NULL,
+    and never plans a cross product."""
+    from clearcare_data_pipeline_spark.operators.joins import banded_fuzzy_top1
+
+    left = spark.createDataFrame(
+        [(1, "saint mary medical center"), (2, "zzzzqqqqxxxx")],
+        ["qkey", "qname"],
+    )
+    right = spark.createDataFrame(
+        [("saint mary medical centre",), ("general hospital north",)], ["name"]
+    )
+    out = banded_fuzzy_top1(left, right, "qkey", "qname", "name")
+    rows = {r.qkey: r for r in out.collect()}
+    assert rows[1].matched == "saint mary medical centre"
+    assert rows[1].dist == 2
+    assert rows[2].matched is None and rows[2].dist is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_banded_fuzzy_band_keys_use_distinct_seeds(spark):
+    """Regression: pyspark transform treats arity-2 lambdas as
+    (element, index); the minhash salt must come from a closure, so the
+    per-seed minhashes (and with them the band keys) actually differ."""
+    from clearcare_data_pipeline_spark.operators.joins import minhash_band_keys_expr
+
+    df = spark.createDataFrame([("blue anvil",)], ["t"])
+    bands = df.select(minhash_band_keys_expr(F.col("t")).alias("b")).collect()[0].b
+    keys = [x.band_key for x in bands]
+    assert len(set(keys)) == len(keys)
