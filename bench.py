@@ -37,7 +37,12 @@ N_RUNS = 5
 
 # Newer operators benched under their own key so the headline total
 # stays comparable across rounds (BASELINE.md / BENCH_r01).
-EXTENDED = [
+#
+# EXTENDED_CORE is FROZEN (the set benched since r4): its subtotal
+# (``extended_core_total_sec``) is the round-over-round comparable
+# number (VERDICT r5 #5 — r5's extended "regression" was purely new
+# queries joining the set). New operators append to EXTENDED only.
+EXTENDED_CORE = [
     "q21_waiting_suppliers",
     "rollup_revenue",
     "dq_lineitem_report",
@@ -45,11 +50,16 @@ EXTENDED = [
     "doc_repetition_stats",
     "events_rate_anomaly",
     "emb_kmeans_clusters",
+]
+
+EXTENDED = EXTENDED_CORE + [
     # VERDICT r4 ask #4: the IVF ANN family gets numbers
     "emb_ivf_topk",
     "emb_ann_recall",
     # r5 addition: SemDeDup (cluster-partitioned semantic dedup)
     "emb_semantic_dedup",
+    # r6 addition: LSH-banded fuzzy top-1 join (J3's scale path)
+    "fuzzy_linkage_banded",
 ]
 
 HEADLINE = [
@@ -242,6 +252,9 @@ def main() -> None:
                 "derivation_cold_sec": derivation_cold,
                 "extended": ext_timings,
                 "extended_total_sec": round(sum(ext_timings.values()), 3),
+                "extended_core_total_sec": round(
+                    sum(v for k, v in ext_timings.items() if k in EXTENDED_CORE), 3
+                ),
                 "skew_demo": skew_demo,
                 "sf": sf,
             }
