@@ -16,10 +16,12 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, ".")
@@ -63,15 +65,23 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # Combined absolute + relative tolerance: at sf1 a SUM over 6M
+            # rows reaches ~1e10 where one float64 ULP is ~4e-6, so a pure
+            # round-to-6-decimals equality flags last-bit associativity
+            # differences between engines as failures.
             av = pd.to_numeric(av, errors="coerce").round(6)
             bv = pd.to_numeric(bv, errors="coerce").round(6)
-            eq = (av.fillna(-1.23456e300) == bv.fillna(-1.23456e300)).all()
-        else:
-            eq = (av.astype(str) == bv.astype(str)).all()
-        if not eq:
-            mism = (av.astype(str) != bv.astype(str)) if not pd.api.types.is_float_dtype(av) else (
-                av.fillna(-1.23456e300) != bv.fillna(-1.23456e300)
+            both_nan = av.isna() & bv.isna()
+            close = np.isclose(
+                av.fillna(-1.23456e300), bv.fillna(-1.23456e300),
+                rtol=1e-9, atol=2e-6,
             )
+            mism = pd.Series(~close & ~both_nan, index=av.index)
+            eq = not mism.any()
+        else:
+            mism = av.astype(str) != bv.astype(str)
+            eq = not mism.any()
+        if not eq:
             idx = mism[mism].index[:3]
             examples = [(c, av.loc[i], bv.loc[i]) for i in idx]
             problems.append(f"values differ in col {c}: {examples}")
@@ -89,6 +99,10 @@ def main() -> int:
     only = set(argv[1:])
 
     con = duckdb.connect()
+    # Leave headroom for the co-resident Spark JVM: at sf1 DuckDB's default
+    # limit (80% of RAM) plus Spark's heap can exhaust the box and abort
+    # thread creation mid-run.
+    con.execute(f"SET memory_limit='{os.environ.get('VERIFY_DUCKDB_MEM', '24GB')}'")
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
