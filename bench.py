@@ -33,7 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from clearcare_data_pipeline_spark.session import get_spark  # noqa: E402
 
-N_RUNS = 5
+# Default 5; the sf1 scale-step run overrides to 3 via env (per-run
+# times are ~10x sf0.1 so the median stabilizes with fewer repeats).
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 # Newer operators benched under their own key so the headline total
 # stays comparable across rounds (BASELINE.md / BENCH_r01).

@@ -51,10 +51,16 @@ def assign_expr(dvec: Column, centroids: list[list[float]]) -> Column:
 
 
 # Above this many k x dim distance cells the interpreted higher-order
-# -function assignment is replaced by the Arrow-batched vectorized one
-# (measured on local[32], n=20k dim=64: k=632 literal path 26 s/pass,
-# vectorized < 1 s). Both paths are bit-identical (see _assign_pandas).
-_ASSIGN_UDF_MIN_CELLS = 8192
+# -function assignment is replaced by the Arrow-batched vectorized one.
+# Both paths are bit-identical (see _assign_pandas); the threshold is a
+# pure speed switch. Measured on local[32], dim=64: k=632 literal path
+# 26 s/pass vs vectorized <1 s; even k=63 (SemDeDup auto-k at sf0.1,
+# 4032 cells) is 9.5 s vs 4.0 s end-to-end, and k=4 is a wash — the
+# interpreted fold over a (k, dim) literal array never beats Arrow once
+# the tree has a few hundred nodes, so only toy-sized problems (where
+# avoiding Python workers entirely keeps whole-stage codegen unbroken)
+# stay on the literal path.
+_ASSIGN_UDF_MIN_CELLS = 256
 
 
 def _assign_pandas(centroids: list[list[float]]):
