@@ -197,31 +197,40 @@ def banded_fuzzy_top1(
 
     Output: (left_id, left_text, matched, dist) — matched/dist NULL for
     left rows with no banded candidate.
+
+    The best match is a pure function of the left TEXT, so banding,
+    candidate generation, and scoring all run over DISTINCT left texts
+    and the result joins back to ids at the end. On dup-heavy inputs
+    (many rows sharing few distinct strings — the registered
+    fuzzy_linkage_banded has 200k rows over ~128 texts at sf1) this
+    collapses the explode/join/window pipeline by orders of magnitude;
+    on all-unique inputs it costs one extra aggregate over the text
+    column. Same discipline as dedup-before-UDF in the LSH operators.
     """
-    lb = left.select(
-        F.col(left_id).alias("_lid"),
-        F.col(left_text).alias("_ltext"),
-        F.explode(minhash_band_keys_expr(F.col(left_text), num_hashes, rows_per_band, ngram)).alias("_b"),
-    ).select("_lid", "_ltext", "_b.band", "_b.band_key")
+    ltexts = left.select(F.col(left_text).alias("_ltext")).distinct()
+    lb = ltexts.select(
+        "_ltext",
+        F.explode(minhash_band_keys_expr(F.col("_ltext"), num_hashes, rows_per_band, ngram)).alias("_b"),
+    ).select("_ltext", "_b.band", "_b.band_key")
     rb = right.select(
         F.col(right_text).alias("_rtext"),
         F.explode(minhash_band_keys_expr(F.col(right_text), num_hashes, rows_per_band, ngram)).alias("_b"),
     ).select("_rtext", "_b.band", "_b.band_key")
     cands = (
         lb.join(rb, ["band", "band_key"])
-        .select("_lid", "_ltext", "_rtext")
+        .select("_ltext", "_rtext")
         .distinct()
     )
-    w = Window.partitionBy("_lid").orderBy(F.asc("dist"), F.asc("_rtext"))
+    w = Window.partitionBy("_ltext").orderBy(F.asc("dist"), F.asc("_rtext"))
     best = (
         cands.withColumn("dist", F.levenshtein("_ltext", "_rtext"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("_lid", F.col("_rtext").alias("matched"), F.col("dist").cast("long").alias("dist"))
+        .select("_ltext", F.col("_rtext").alias("matched"), F.col("dist").cast("long").alias("dist"))
     )
     return (
         left.select(F.col(left_id).alias("_lid"), F.col(left_text).alias("_ltext"))
-        .join(best, "_lid", "left")
+        .join(best, "_ltext", "left")
         .select(
             F.col("_lid").alias(left_id),
             F.col("_ltext").alias(left_text),
