@@ -16,6 +16,8 @@ from clearcare_data_pipeline_spark.operators.dedup import (
     jaccard_pairs,
     lsh_band_keys,
     lsh_candidate_pairs,
+    MINHASH_MOD,
+    minhash_consts,
     minhash_signatures,
     simhash_signatures,
 )
@@ -86,18 +88,30 @@ shingled AS (
 )
 """
 
+# Replays operators/dedup.py minhash_signatures exactly: one md5 per
+# shingle, k affine permutations of its two 28-bit hex chunks modulo
+# 2^61-1, coefficients from the shared minhash_consts().
+_SEED_ROWS = ", ".join(
+    f"({s}, {a1}, {a2}, {c})" for s, (a1, a2, c) in enumerate(minhash_consts(_NUM_HASHES))
+)
+
 _MINHASH_SQL = f"""
 {_SHINGLES_SQL},
-salted AS (
-  SELECT doc_id, seed, md5(CAST(seed AS STRING) || '|' || shingle) AS h
-  FROM shingled CROSS JOIN (SELECT unnest(range(0, {_NUM_HASHES})) AS seed)
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS b1,
+         CAST(('0x' || substr(md5(shingle), 8, 7)) AS BIGINT) AS b2
+  FROM shingled
 ),
+seeds(seed, a1, a2, c) AS (VALUES {_SEED_ROWS}),
 signatures AS (
-  SELECT doc_id, seed, min(h) AS minhash FROM salted GROUP BY doc_id, seed
+  SELECT doc_id, seed,
+         min((a1 * b1 + a2 * b2 + c) % {MINHASH_MOD}) AS minhash
+  FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, CAST(seed // {_ROWS_PER_BAND} AS INT) AS band,
-         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+         md5(string_agg(CAST(minhash AS STRING), '|' ORDER BY seed)) AS band_key
   FROM signatures GROUP BY doc_id, seed // {_ROWS_PER_BAND}
 )
 """
