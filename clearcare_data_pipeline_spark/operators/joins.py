@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from clearcare_data_pipeline_spark.operators.dedup import MINHASH_MOD, minhash_consts
+
 
 def asof_join(
     left: DataFrame,
@@ -140,25 +142,42 @@ def minhash_band_keys_expr(
 ) -> Column:
     """LSH band keys for one string: array of (band, band_key) structs.
 
-    minhash_s = min over character n-grams of md5('s|' || gram) — the
-    same salted-hash permutation approximation as the document MinHash
-    (operators/dedup.py minhash_signatures), inlined per row because a
-    join key needs no posting-list aggregation. band_key = md5 of the
-    band's seed-ordered minhashes. md5 hex and lexicographic min are
-    engine-portable, so a DuckDB oracle reproduces the keys exactly."""
+    minhash_s = min over character n-grams of the affine permutation
+    ``(a1_s*b1 + a2_s*b2 + c_s) mod (2^31 - 1)`` of ONE md5 per gram
+    (b1/b2 = its two 28-bit hex chunks) — the same universal-hashing
+    family as the document MinHash (operators/dedup.py
+    minhash_signatures, shared ``minhash_consts``), inlined per row
+    because a join key needs no posting-list aggregation: one digest
+    per gram instead of ``num_hashes``, which is the dominant per-row
+    cost on high-cardinality text. band_key = md5 of the band's
+    seed-ordered minhashes. md5 hex, exact int64 arithmetic, and
+    numeric min are engine-portable, so a DuckDB oracle reproduces the
+    keys exactly."""
     grams = _char_ngrams(text, ngram)
+    # One digest per gram; b1/b2 extracted from the already-computed hex
+    # (a nested transform so the md5 is never re-evaluated per seed).
+    # NB: lambdas must stay arity-1 — pyspark's transform treats a
+    # two-argument lambda as (element, index).
+    hashed = F.transform(
+        F.transform(grams, lambda g: F.md5(g)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 7), 16, 10).cast("long").alias("b1"),
+            F.conv(F.substring(h, 8, 7), 16, 10).cast("long").alias("b2"),
+        ),
+    )
 
-    def _mh(salt: str) -> Column:
-        # NB: the lambda must stay arity-1 — pyspark's transform treats a
-        # two-argument lambda as (element, index) and would silently
-        # replace a default-arg salt with the element index.
+    def _mh(a1: int, a2: int, c: int) -> Column:
         return F.array_min(
             F.transform(
-                grams, lambda g: F.md5(F.concat_ws("|", F.lit(salt), g).cast("binary"))
+                hashed,
+                lambda s: (
+                    F.lit(a1) * s["b1"] + F.lit(a2) * s["b2"] + F.lit(c)
+                )
+                % F.lit(MINHASH_MOD),
             )
-        )
+        ).cast("string")
 
-    mins = [_mh(str(s)) for s in range(num_hashes)]
+    mins = [_mh(*co) for co in minhash_consts(num_hashes)]
     bands = []
     for b in range(num_hashes // rows_per_band):
         key = F.md5(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clearcare_data_pipeline_spark.functions.text import slugify, zip_from_address
+from clearcare_data_pipeline_spark.operators.dedup import MINHASH_MOD, minhash_consts
 from clearcare_data_pipeline_spark.schema import SLUG_STOPWORDS
 from clearcare_data_pipeline_spark.sources.tables import load_table
 
@@ -553,8 +554,18 @@ def q_fuzzy_linkage_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _banded_mh(s: int, t: str) -> str:
+    # Replays operators/joins.py minhash_band_keys_expr: one md5 per
+    # character trigram, affine permutation of its two 28-bit hex
+    # chunks mod 2^31-1 with the shared minhash_consts coefficients.
+    a1, a2, c = minhash_consts(6)[s]
     grams = f"list_transform(range(1, greatest(length({t}) - 1, 1)), i -> substring({t}, i, 3))"
-    return f"list_min(list_transform({grams}, g -> md5('{s}|' || g)))"
+    hashed = f"list_transform({grams}, g -> md5(g))"
+    perm = (
+        f"({a1} * CAST(('0x' || substr(h, 1, 7)) AS BIGINT)"
+        f" + {a2} * CAST(('0x' || substr(h, 8, 7)) AS BIGINT)"
+        f" + {c}) % {MINHASH_MOD}"
+    )
+    return f"CAST(list_min(list_transform({hashed}, h -> {perm})) AS STRING)"
 
 
 def _banded_side(src: str, keys: str, t: str) -> str:
