@@ -244,8 +244,13 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (J >= 0.7), restricted to
     MinHash-LSH candidates — the plan that survives hub shingles at
     100 TB (the unrestricted shingle-share join is quadratic in a hot
-    shingle's posting list)."""
-    sh = doc_shingles(corpus_near_dups(spark, sf_dir), n=_SHINGLE_N)
+    shingle's posting list).
+
+    The shingle frame feeds BOTH the signature/banding branch and the
+    posting-list branch; a localCheckpoint materializes it once (doc_id
+    + shingle, ~linear in corpus bytes) so the text-to-shingles explode
+    is not recomputed per branch."""
+    sh = doc_shingles(corpus_near_dups(spark, sf_dir), n=_SHINGLE_N).localCheckpoint()
     cands = lsh_candidate_pairs(
         lsh_band_keys(
             minhash_signatures(sh, num_hashes=_NUM_HASHES),
