@@ -36,6 +36,14 @@ def get_spark(app_name: str = "clearcare-spark", shuffle_partitions: int | None 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # The verify harness collects multi-million-row results via
+        # toPandas; the 1g default aborts a >1 GiB collect at sf1 (and
+        # the severed Arrow stream then surfaces as confusing
+        # ArrowMemoryErrors on later queries).
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_DRIVER_MAX_RESULT_SIZE", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         # Parquet scans: 128 MiB split targets keep partitions
         # executor-memory-safe at large SF while remaining the right
