@@ -98,13 +98,17 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
-    con = duckdb.connect()
-    # Leave headroom for the co-resident Spark JVM: at sf1 DuckDB's default
-    # limit (80% of RAM) plus Spark's heap can exhaust the box and abort
-    # thread creation mid-run.
-    con.execute(f"SET memory_limit='{os.environ.get('VERIFY_DUCKDB_MEM', '24GB')}'")
-    for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def fresh_con():
+        # One connection PER QUERY: DuckDB 1.0 pins buffer-manager blocks
+        # across statements on a long-lived connection (especially after
+        # an OOM exception), so at sf1 a shared connection eventually
+        # fails 16 KB allocations that a fresh one satisfies instantly.
+        # The memory cap leaves headroom for the co-resident Spark JVM.
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{os.environ.get('VERIFY_DUCKDB_MEM', '24GB')}'")
+        for t in TESTDATA_TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
 
     spark = get_spark("verify-local")
     queries = entrymod.queries()
@@ -129,7 +133,11 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            ddf = con.execute(oracles[name]).df()
+            con = fresh_con()
+            try:
+                ddf = con.execute(oracles[name]).df()
+            finally:
+                con.close()
         except Exception as e:
             failed.append(name)
             results[name] = {"status": "fail", "err": f"duckdb {type(e).__name__}: {e}"[:400]}
