@@ -106,6 +106,11 @@ def main() -> int:
         # The memory cap leaves headroom for the co-resident Spark JVM.
         c = duckdb.connect()
         c.execute(f"SET memory_limit='{os.environ.get('VERIFY_DUCKDB_MEM', '24GB')}'")
+        # DuckDB 1.0 RESERVES aggregate memory per thread: at 32 threads
+        # the sf1 charges oracles abort on reservation accounting with
+        # <4 GB actually resident; 8 threads completes them in ~1 min.
+        c.execute(f"SET threads={os.environ.get('VERIFY_DUCKDB_THREADS', '8')}")
+        c.execute("SET preserve_insertion_order=false")
         for t in TESTDATA_TABLES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
