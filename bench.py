@@ -62,6 +62,8 @@ EXTENDED = EXTENDED_CORE + [
     "emb_semantic_dedup",
     # r6 addition: LSH-banded fuzzy top-1 join (J3's scale path)
     "fuzzy_linkage_banded",
+    # r6 addition: self-trained trigram-LM perplexity (CCNet-style)
+    "doc_lm_perplexity",
 ]
 
 HEADLINE = [

@@ -9,7 +9,7 @@ Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword
@@ -132,3 +132,102 @@ ROLLING_HASH_SQL = (
     "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
     f"(h, c) -> (h * {_RH_BASE} + c) % {_RH_MOD})"
 )
+
+
+def trigram_occurrences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per word-trigram occurrence: (id, w1, w2, w3).
+
+    Trigrams are built ROW-LOCALLY from the token array (transform over
+    a 0..n-3 index sequence) — no per-document window sort, no shuffle;
+    the explode is a narrow fan-out exactly like the chunker
+    (operators/chunking.py). Documents shorter than 3 tokens produce no
+    rows."""
+    toks = words_expr(F.col(text_col))
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+            F.element_at(toks, i + 3).alias("w3"),
+        ),
+    )
+    return (
+        docs.where(F.size(words_expr(F.col(text_col))) >= 3)
+        .select(id_col, F.explode(tri).alias("t"))
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+    )
+
+
+def trigram_lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Self-trained word-trigram language-model perplexity per document
+    — the CCNet/KenLM-style quality filter (Wenzek et al. 2020,
+    arXiv:1911.00359) re-expressed as pure DataFrame ops: no external
+    model, the corpus is its own LM.
+
+    Model: P(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2 ·), counts taken over
+    the whole corpus. Score: avg_logprob = mean over the document's
+    trigram occurrences of ln P; perplexity = exp(-avg_logprob). Low
+    perplexity = the document looks like the corpus; high = outlier
+    (boilerplate, noise, wrong language) — the standard selection
+    signal for training-data curation.
+
+    Scale shape: occurrences are linear in corpus tokens and built
+    without a shuffle (trigram_occurrences); they are immediately
+    compressed to per-document trigram COUNTS — the one corpus-sized
+    shuffle — and that frame is persisted so its two consumers (model
+    build and scoring) cost one scan of the corpus, not two; the cache
+    is released before return via an eager narrow checkpoint of the
+    one-row-per-doc result. The model is VOCABULARY-sized (distinct
+    trigrams), its prefix totals come from a window over that small
+    frame, and it joins back broadcast (``broadcast_model=False``
+    switches to a plain keyed equi-join for corpora whose trigram
+    vocabulary outgrows the broadcast budget — e.g. 100 TB web text;
+    the plan stays keyed either way, never quadratic). The
+    per-document average is occurrence-weighted (sum(n*lp)/sum(n)) —
+    algebraically the mean over occurrences, so a row-per-occurrence
+    oracle matches within float tolerance.
+
+    Output: (id, n_trigrams, avg_logprob, perplexity), one row per
+    document with >= 3 tokens; floats rounded to 6 for cross-engine
+    comparison."""
+    doctri = (
+        trigram_occurrences(docs, id_col, text_col)
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        m3 = doctri.groupBy("w1", "w2", "w3").agg(
+            F.sum("n").cast("double").alias("c3")
+        )
+        # Prefix totals via a window over the VOCABULARY-sized m3 (not
+        # a second aggregate + join): one subtree, one cheap sort.
+        prefix_w = Window.partitionBy("w1", "w2")
+        model = m3.select(
+            "w1",
+            "w2",
+            "w3",
+            F.log(F.col("c3") / F.sum("c3").over(prefix_w)).alias("lp"),
+        )
+        if broadcast_model:
+            model = F.broadcast(model)
+        scored = doctri.join(model, ["w1", "w2", "w3"])
+        mean_lp = F.sum(F.col("n") * F.col("lp")) / F.sum("n")
+        out = scored.groupBy(id_col).agg(
+            F.sum("n").alias("n_trigrams"),
+            F.round(mean_lp, 6).alias("avg_logprob"),
+            F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+        )
+        # Eager, narrow (4-column, one row per doc) checkpoint so the
+        # cache can be released here — same discipline as
+        # operators/clustering.py semantic_dedup (ADVICE r5).
+        return out.localCheckpoint()
+    finally:
+        doctri.unpersist()

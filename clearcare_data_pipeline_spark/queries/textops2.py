@@ -671,3 +671,49 @@ FROM binned GROUP BY source, bin
 
 QUERIES["doc_sequence_packing"] = q_doc_sequence_packing
 ORACLES["doc_sequence_packing"] = _PACKING_ORACLE
+
+
+# --- self-trained trigram-LM perplexity (operators/textstats.py) --------
+
+
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: each document scored by a word-
+    trigram LM whose counts come from the corpus itself
+    (operators/textstats.py trigram_lm_perplexity). The reference has
+    no LM filter; this is the standard curation op its charge-quality
+    rules approximate for text (SURVEY §2.3 F-family analogue)."""
+    from clearcare_data_pipeline_spark.operators.textstats import (
+        trigram_lm_perplexity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_lm_perplexity(docs)
+
+
+_LM_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> length(t) > 0) AS ts
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ts) - 2),
+                i -> struct_pack(w1 := ts[i + 1], w2 := ts[i + 2], w3 := ts[i + 3]))) AS t
+  FROM toks WHERE len(ts) >= 3
+),
+occ AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tri),
+m3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3 FROM occ GROUP BY 1, 2, 3),
+m2 AS (SELECT w1, w2, sum(c3) AS c2 FROM m3 GROUP BY 1, 2),
+model AS (
+  SELECT w1, w2, w3, ln(c3 / c2) AS lp FROM m3 JOIN m2 USING (w1, w2)
+),
+scored AS (SELECT occ.doc_id, model.lp FROM occ JOIN model USING (w1, w2, w3))
+SELECT doc_id, count(*) AS n_trigrams,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-avg(lp)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES["doc_lm_perplexity"] = q_doc_lm_perplexity
+ORACLES["doc_lm_perplexity"] = _LM_PPL_ORACLE
