@@ -54,13 +54,13 @@ def assign_expr(dvec: Column, centroids: list[list[float]]) -> Column:
 # -function assignment is replaced by the Arrow-batched vectorized one.
 # Both paths are bit-identical (see _assign_pandas); the threshold is a
 # pure speed switch. Measured on local[32], dim=64: k=632 literal path
-# 26 s/pass vs vectorized <1 s; even k=63 (SemDeDup auto-k at sf0.1,
-# 4032 cells) is 9.5 s vs 4.0 s end-to-end, and k=4 is a wash — the
-# interpreted fold over a (k, dim) literal array never beats Arrow once
-# the tree has a few hundred nodes, so only toy-sized problems (where
-# avoiding Python workers entirely keeps whole-stage codegen unbroken)
-# stay on the literal path.
-_ASSIGN_UDF_MIN_CELLS = 256
+# 26 s/pass vs vectorized <1 s; k=63 (SemDeDup auto-k at sf0.1, 4032
+# cells) is 9.5 s vs 4.0 s end-to-end. At k=4 (256 cells) the LITERAL
+# path still wins — 2.4 s vs 2.75 s median over 5 runs at sf0.1 —
+# because staying inside whole-stage codegen beats the Python-worker
+# round trip while the expression tree is small, so the switch sits at
+# 512 cells: small-k workloads keep codegen, anything wider goes Arrow.
+_ASSIGN_UDF_MIN_CELLS = 512
 
 
 def _assign_pandas(centroids: list[list[float]]):
