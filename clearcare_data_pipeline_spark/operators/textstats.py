@@ -231,3 +231,38 @@ def trigram_lm_perplexity(
         return out.localCheckpoint()
     finally:
         doctri.unpersist()
+
+
+def hashed_tf_expr(tokens: Column, dim: int = 64) -> Column:
+    """Feature-hashed term-frequency vector (HashingTF, Weinberger et
+    al. 2009): tf[i] = number of tokens whose engine-portable md5
+    bucket (operators/sampling.py hash_bucket_expr) equals i.
+
+    Entirely ROW-LOCAL — tokenize, bucket, and count inside one
+    whole-stage-codegen projection; the corpus-wide vectorization step
+    has ZERO shuffles at any scale (contrast TF-IDF, which needs the
+    global document frequencies). The md5 bucketing is the same
+    position-arithmetic used for split membership, so a SQL oracle
+    reproduces the exact vector. O(dim x n_tokens) comparisons per row
+    — fine for feature dims in the hundreds; beyond that, switch to a
+    grouped (explode + count) plan."""
+    from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_expr
+
+    buckets = F.transform(tokens, lambda t: hash_bucket_expr(t, dim))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("long"),
+    )
+
+
+def l2_norm_expr(vec: Column) -> Column:
+    """Euclidean norm of a numeric array via a left fold (same
+    accumulation order as DuckDB's ``list_reduce`` with a prepended 0
+    seed, so doubles match bit-for-bit)."""
+    return F.sqrt(
+        F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )

@@ -717,3 +717,61 @@ FROM scored GROUP BY doc_id
 
 QUERIES["doc_lm_perplexity"] = q_doc_lm_perplexity
 ORACLES["doc_lm_perplexity"] = _LM_PPL_ORACLE
+
+
+# --- feature-hashed TF vectors (operators/textstats.py) ------------------
+
+
+def q_doc_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF document vectorization: every doc becomes a dim-64
+    hashed term-frequency vector in ONE shuffle-free codegen projection
+    (operators/textstats.py hashed_tf_expr) — the text-side entry point
+    into the embedding operators (cosine/LSH/IVF take any fixed-width
+    vector column). n_tokens and the L2 norm ride along as scalars."""
+    from clearcare_data_pipeline_spark.operators.textstats import (
+        hashed_tf_expr,
+        l2_norm_expr,
+        words_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words_expr(F.col("text"))
+    tf = hashed_tf_expr(toks, 64)
+    return docs.select(
+        "doc_id",
+        tf.alias("tf"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(l2_norm_expr(tf), 6).alias("l2_norm"),
+    )
+
+
+def _hashed_tf_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("t", 64)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> length(t) > 0) AS ts
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ts, list_transform(ts, t -> {bucket}) AS bs FROM toks
+),
+v AS (
+  SELECT doc_id, ts,
+         list_transform(range(64),
+                        i -> CAST(len(list_filter(bs, x -> x = i)) AS BIGINT)) AS tf
+  FROM b
+)
+SELECT doc_id, tf, CAST(len(ts) AS BIGINT) AS n_tokens,
+  round(sqrt(list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(tf, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      (a, acc) -> a + acc)), 6) AS l2_norm
+FROM v
+"""
+
+
+QUERIES["doc_hashed_tf"] = q_doc_hashed_tf
+ORACLES["doc_hashed_tf"] = _hashed_tf_oracle()
