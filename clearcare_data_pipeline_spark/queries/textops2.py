@@ -775,3 +775,78 @@ FROM v
 
 QUERIES["doc_hashed_tf"] = q_doc_hashed_tf
 ORACLES["doc_hashed_tf"] = _hashed_tf_oracle()
+
+
+_TF_QUERY_MOD = 251
+_TF_TOPK = 5
+
+
+def q_doc_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text -> vector -> ANN composition: documents are
+    vectorized with the shuffle-free hashed-TF projection, then every
+    doc_id % 251 == 0 doc retrieves its top-5 cosine neighbors through
+    the SAME brute-force baseline operator the float embeddings use
+    (operators/similarity.py cosine_topk — query side broadcast,
+    candidates stream). Proves the vector operators are payload-
+    agnostic: any fixed-width array column plugs in."""
+    from clearcare_data_pipeline_spark.operators.similarity import cosine_topk
+    from clearcare_data_pipeline_spark.operators.textstats import (
+        hashed_tf_expr,
+        words_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words_expr(F.col("text"))
+    vecs = docs.where(F.size(toks) > 0).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(hashed_tf_expr(toks, 64), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    queries = vecs.where(F.col("vec_id") % _TF_QUERY_MOD == 0)
+    return cosine_topk(vecs, queries, k=_TF_TOPK)
+
+
+def _tf_cosine_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("t", 64)
+    dot = (
+        "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+        " (x, y) -> x + y)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> length(t) > 0) AS ts
+  FROM documents
+),
+b AS (
+  SELECT doc_id, list_transform(ts, t -> {bucket}) AS bs
+  FROM toks WHERE len(ts) > 0
+),
+v AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(64),
+                        i -> CAST(len(list_filter(bs, x -> x = i)) AS DOUBLE)) AS dv
+  FROM b
+),
+n AS (SELECT vec_id, dv, sqrt({dot.format(a='dv', b='dv')}) AS nrm FROM v),
+q AS (SELECT * FROM n WHERE vec_id % {_TF_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({dot.format(a='c.dv', b='q.dv')} / (c.nrm * q.nrm), 6) AS cos_sim
+  FROM n c, q WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= {_TF_TOPK}
+"""
+
+
+QUERIES["doc_tf_cosine_topk"] = q_doc_tf_cosine_topk
+ORACLES["doc_tf_cosine_topk"] = _tf_cosine_oracle()
