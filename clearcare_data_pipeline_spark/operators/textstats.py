@@ -197,33 +197,11 @@ def trigram_lm_perplexity(
     Output: (id, n_trigrams, avg_logprob, perplexity), one row per
     document with >= 3 tokens; floats rounded to 6 for cross-engine
     comparison."""
-    doctri = (
-        trigram_occurrences(docs, id_col, text_col)
-        .groupBy(id_col, "w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
-    )
+    doctri = doc_trigram_counts(docs, id_col, text_col).persist()
     try:
-        m3 = doctri.groupBy("w1", "w2", "w3").agg(
-            F.sum("n").cast("double").alias("c3")
-        )
-        # Prefix totals via a window over the VOCABULARY-sized m3 (not
-        # a second aggregate + join): one subtree, one cheap sort.
-        prefix_w = Window.partitionBy("w1", "w2")
-        model = m3.select(
-            "w1",
-            "w2",
-            "w3",
-            F.log(F.col("c3") / F.sum("c3").over(prefix_w)).alias("lp"),
-        )
-        if broadcast_model:
-            model = F.broadcast(model)
-        scored = doctri.join(model, ["w1", "w2", "w3"])
-        mean_lp = F.sum(F.col("n") * F.col("lp")) / F.sum("n")
-        out = scored.groupBy(id_col).agg(
-            F.sum("n").alias("n_trigrams"),
-            F.round(mean_lp, 6).alias("avg_logprob"),
-            F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+        model = trigram_lm_model_from_counts(doctri)
+        out = score_trigram_counts(
+            doctri, model, id_col=id_col, broadcast_model=broadcast_model
         )
         # Eager, narrow (4-column, one row per doc) checkpoint so the
         # cache can be released here — same discipline as
@@ -231,6 +209,60 @@ def trigram_lm_perplexity(
         return out.localCheckpoint()
     finally:
         doctri.unpersist()
+
+
+def trigram_lm_model_from_counts(doctri: DataFrame) -> DataFrame:
+    """(w1, w2, w3, lp) LM table from per-document trigram counts —
+    the trainable half of ``trigram_lm_perplexity``, reusable against
+    any corpus (or a document STREAM, see streaming/lmscore.py).
+    Prefix totals come from a window over the VOCABULARY-sized trigram
+    table (not a second aggregate + join): one subtree, one cheap
+    sort."""
+    m3 = doctri.groupBy("w1", "w2", "w3").agg(
+        F.sum("n").cast("double").alias("c3")
+    )
+    prefix_w = Window.partitionBy("w1", "w2")
+    return m3.select(
+        "w1",
+        "w2",
+        "w3",
+        F.log(F.col("c3") / F.sum("c3").over(prefix_w)).alias("lp"),
+    )
+
+
+def score_trigram_counts(
+    doctri: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score per-document trigram counts against a (w1, w2, w3, lp)
+    model table: the inference half of ``trigram_lm_perplexity``.
+    Trigrams absent from the model are DROPPED from the average (the
+    join is inner) — the caller decides how to treat out-of-model
+    documents (n_trigrams shrinks accordingly; a doc with no modeled
+    trigram yields no row)."""
+    if broadcast_model:
+        model = F.broadcast(model)
+    scored = doctri.join(model, ["w1", "w2", "w3"])
+    mean_lp = F.sum(F.col("n") * F.col("lp")) / F.sum("n")
+    return scored.groupBy(id_col).agg(
+        F.sum("n").alias("n_trigrams"),
+        F.round(mean_lp, 6).alias("avg_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+    )
+
+
+def doc_trigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document trigram counts (id, w1, w2, w3, n) — the shared
+    input shape of model building and scoring."""
+    return (
+        trigram_occurrences(docs, id_col, text_col)
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def hashed_tf_expr(tokens: Column, dim: int = 64) -> Column:
