@@ -277,18 +277,29 @@ def blocked_similarity_join(
     pre-restrict to ``a.id < b.id``; the join here is keyed and
     co-locatable, so at 100 TB the cost is one shuffle per side plus
     work quadratic only within each block.
+
+    The pre-join repartition is load-bearing: the joined OUTPUT is
+    quadratic-per-block while the join INPUT is linear, so AQE —
+    which sizes post-shuffle partitions from map-output bytes — will
+    happily coalesce a small input to one partition and serialize the
+    entire pair explosion onto a single core (observed at sf1: 200k
+    parts, ~200 blocks, ~100M pairs in one task). An explicit
+    numbered repartition on the block keys is exempt from AQE
+    coalescing and keeps the blocks spread.
     """
+    n_part = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bkeys = [f"_b_{c}" for c in block_cols]
     lt = left.select(
         F.col(id_col).alias("left_id"),
         F.col(text_col).alias("left_text"),
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-    )
+    ).repartition(n_part, *bkeys)
     rt = right.select(
         F.col(id_col).alias("right_id"),
         F.col(text_col).alias("right_text"),
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
     )
-    joined = lt.join(rt, [f"_b_{c}" for c in block_cols]).where(
+    joined = lt.join(rt, bkeys).where(
         F.col("left_id") < F.col("right_id")
     )
     sim = F.lit(1.0) - F.levenshtein("left_text", "right_text").cast("double") / F.greatest(
