@@ -57,3 +57,34 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling (seeded). Spark-internal
     determinism only — do not oracle-compare or persist as membership."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def hash_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size uniform-without-replacement sample of exactly
+    min(k, group size) rows per group, as a pure function of the ids.
+
+    Rank rows inside each group by (md5 of id, id) and keep the first
+    ``k``: because the md5 order is pseudorandom and independent of the
+    grouping, the selection is uniform; because it is derived from the
+    id alone it is reproducible across runs, engines, partitionings,
+    and data arrival order — the property ``sampleBy`` cannot give
+    (see stratified_sample). The standard tool for capping a dominant
+    source's contribution to a training mix at a known size.
+
+    Cost: one hash-partitioned sort per group (window row_number) —
+    a single shuffle, no driver involvement, any scale.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -850,3 +850,37 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= {_TF_TOPK}
 
 QUERIES["doc_tf_cosine_topk"] = q_doc_tf_cosine_topk
 ORACLES["doc_tf_cosine_topk"] = _tf_cosine_oracle()
+
+
+# --- deterministic per-source sample cap (operators/sampling.py) ---------
+
+_CAP_K = 20
+
+
+def q_doc_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source's contribution at 20 docs with the
+    hash-ranked uniform sample (operators/sampling.py
+    hash_topk_sample): membership is a pure function of doc_id, so the
+    cap is reproducible across runs/engines/partitionings — the
+    corpus-mixing primitive for bounding a dominant source."""
+    from clearcare_data_pipeline_spark.operators.sampling import hash_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_topk_sample(docs, "source", _CAP_K)
+    return out.select("doc_id", "source")
+
+
+def _capped_sample_oracle() -> str:
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY {h} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= {_CAP_K}
+"""
+
+
+QUERIES["doc_source_capped_sample"] = q_doc_source_capped_sample
+ORACLES["doc_source_capped_sample"] = _capped_sample_oracle()

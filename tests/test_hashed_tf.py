@@ -50,3 +50,21 @@ def test_l2_norm_of_hashed_tf(spark):
     row = df.select(l2_norm_expr(tf).alias("n")).collect()[0]
     # counts are [2, 1] in some buckets -> norm = sqrt(4 + 1)
     assert abs(row.n - math.sqrt(5.0)) < 1e-12
+
+
+def test_hash_topk_sample_exact_size_and_determinism(spark):
+    from clearcare_data_pipeline_spark.operators.sampling import hash_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(55)],
+        ["doc_id", "source"],
+    )
+    a = hash_topk_sample(df, "source", 10).collect()
+    by_src: dict[str, set] = {}
+    for r in a:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 10  # capped
+    assert len(by_src["small"]) == 5  # group smaller than k -> kept whole
+    # reproducible under a different partitioning of the same rows
+    b = hash_topk_sample(df.repartition(7), "source", 10).collect()
+    assert {(r.doc_id, r.source) for r in a} == {(r.doc_id, r.source) for r in b}
