@@ -34,28 +34,46 @@ def pagerank(
 
     Dangling nodes (no out-edges) contribute nothing (classic
     simplified formulation — mirrors the SQL twin exactly).
+
+    ``edges`` is persisted here: its lineage (often an expensive
+    derivation — the registered query's is a distinct-pair self-join
+    over lineitem) is otherwise recomputed by every consumer (node
+    list, out-degrees, and each iteration's contribution join —
+    iters + 2 times).
     """
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
-    n = nodes.count()
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    base = F.lit(1.0 - damping) / F.lit(float(n))
-    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
-    for _ in range(iters):
-        contribs = (
-            edges.join(pr, edges[src] == pr["node"])
-            .join(outdeg, src)
-            .select(F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = nodes.join(contribs, "node", "left").select(
-            "node",
-            (base + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("pr"),
-        ).persist()
-    nodes.unpersist()
-    return pr
+    try:
+        n = nodes.count()
+        outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+        base = F.lit(1.0 - damping) / F.lit(float(n))
+        pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
+        iter_frames = []
+        for _ in range(iters):
+            contribs = (
+                edges.join(pr, edges[src] == pr["node"])
+                .join(outdeg, src)
+                .select(F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            pr = nodes.join(contribs, "node", "left").select(
+                "node",
+                (base + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("pr"),
+            ).persist()
+            iter_frames.append(pr)
+        # Narrow (node, pr) checkpoint lets every cache — edges, nodes,
+        # and the per-iteration rank frames — release now rather than
+        # leak past return (ADVICE r5 discipline).
+        out = pr.localCheckpoint()
+        for f in iter_frames:
+            f.unpersist()
+        return out
+    finally:
+        nodes.unpersist()
+        edges.unpersist()
