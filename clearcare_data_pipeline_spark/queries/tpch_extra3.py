@@ -407,21 +407,26 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle() -> str:
     d = _PR_DAMPING
     parts = [
-        """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
-        f"""pairs AS (
+        # AS MATERIALIZED: every multiply-referenced CTE is computed
+        # exactly once. Without the hint DuckDB may inline them, and at
+        # sf1 the edge derivation then re-runs inside every consumer
+        # concurrently — observed to exhaust ~79 GB of spill space
+        # under the harness's 24 GB memory cap.
+        """op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+        f"""pairs AS MATERIALIZED (
   SELECT a.p AS p1, b.p AS p2 FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2 HAVING count(*) >= {_PR_MIN_CO})""",
-        """edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+        """edges AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
   UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs)""",
-        """nodes AS (SELECT DISTINCT node FROM (
+        """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
   SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))""",
-        """outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)""",
-        """pr0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS pr FROM nodes)""",
+        """outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)""",
+        """pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS pr FROM nodes)""",
     ]
     prev = "pr0"
     for it in range(1, _PR_ITERS + 1):
         parts.append(
-            f"""pr{it} AS (
+            f"""pr{it} AS MATERIALIZED (
   SELECT n.node,
          (1.0 - {d}) / (SELECT count(*) FROM nodes)
          + {d} * coalesce(s.s, 0.0) AS pr
