@@ -287,39 +287,45 @@ def kmeans_oracle_sql(
         "list_reduce(list_transform(range(1, len(e.dvec) + 1), "
         "i -> (e.dvec[i] - c.cvec[i]) * (e.dvec[i] - c.cvec[i])), (a, b) -> a + b)"
     )
+    # Assignment shape note (sf1 lesson): compute the distance in an
+    # inner projection so the row_number window sorts NARROW
+    # (vid, cluster, d) rows — sorting the raw cross join would carry
+    # both 64-dim lists through an n x k row materialization (~15 GB at
+    # n=20k, k=632) and blow the harness's DuckDB memory cap. Every CTE
+    # is AS MATERIALIZED so multiply-referenced stages (e especially)
+    # compute exactly once instead of being inlined per consumer.
+    def _assign(prev: str) -> str:
+        return (
+            f"SELECT vid, cluster FROM ("
+            f"SELECT vid, cluster, row_number() OVER "
+            f"(PARTITION BY vid ORDER BY d, cluster) AS rn "
+            f"FROM (SELECT e.vid, c.cluster, {dist} AS d "
+            f"FROM e CROSS JOIN {prev} c)) WHERE rn = 1"
+        )
+
     k_expr = str(k) if isinstance(k, int) else f"(SELECT {k} FROM e)"
     parts = [
-        f"e AS (SELECT {id_col} AS vid, "
+        f"e AS MATERIALIZED (SELECT {id_col} AS vid, "
         f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS dvec FROM {table})",
-        f"c0 AS (SELECT cluster, cvec FROM ("
+        f"c0 AS MATERIALIZED (SELECT cluster, cvec FROM ("
         f"SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cluster, "
         f"dvec AS cvec FROM e) WHERE cluster < {k_expr})",
     ]
     prev = "c0"
     for it in range(1, iters + 1):
+        parts.append(f"a{it} AS MATERIALIZED ({_assign(prev)})")
         parts.append(
-            f"a{it} AS (SELECT vid, cluster FROM ("
-            f"SELECT e.vid, c.cluster, row_number() OVER "
-            f"(PARTITION BY e.vid ORDER BY {dist}, c.cluster) AS rn "
-            f"FROM e CROSS JOIN {prev} c) WHERE rn = 1)"
-        )
-        parts.append(
-            f"m{it} AS (SELECT cluster, dim, "
+            f"m{it} AS MATERIALIZED (SELECT cluster, dim, "
             f"CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m "
             f"FROM (SELECT a.cluster, generate_subscripts(e.dvec, 1) AS dim, "
             f"unnest(e.dvec) AS v FROM a{it} a JOIN e ON a.vid = e.vid) "
             f"GROUP BY cluster, dim)"
         )
         parts.append(
-            f"c{it} AS (SELECT p.cluster, coalesce(n.cvec, p.cvec) AS cvec "
+            f"c{it} AS MATERIALIZED (SELECT p.cluster, coalesce(n.cvec, p.cvec) AS cvec "
             f"FROM {prev} p LEFT JOIN (SELECT cluster, list(m ORDER BY dim) AS cvec "
             f"FROM m{it} GROUP BY cluster) n ON p.cluster = n.cluster)"
         )
         prev = f"c{it}"
-    final = (
-        f"SELECT vid AS {id_col}, cluster FROM ("
-        f"SELECT e.vid, c.cluster, row_number() OVER "
-        f"(PARTITION BY e.vid ORDER BY {dist}, c.cluster) AS rn "
-        f"FROM e CROSS JOIN {prev} c) WHERE rn = 1"
-    )
+    final = f"SELECT vid AS {id_col}, cluster FROM ({_assign(prev)})"
     return "WITH " + ",\n".join(parts) + "\n" + final
