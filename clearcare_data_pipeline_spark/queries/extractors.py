@@ -303,7 +303,13 @@ def _build_csv(sf_dir: str, kind: str) -> str:
         ).fetchall()
     finally:
         con.close()
-    path = os.path.join(_FIXTURE_ROOT, f"{sf_dir.strip('/').replace('/', '_')}_{kind}.csv")
+    path = os.path.join(
+        _FIXTURE_ROOT,
+        # lstrip '._': Hadoop input formats treat dot/underscore-prefixed
+        # files as hidden and silently skip them (a relative sf_dir like
+        # '.localdata/sf1' would otherwise produce an invisible fixture).
+        f"{sf_dir.strip('/').replace('/', '_').lstrip('._')}_{kind}.csv",
+    )
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["hospital_name", "last_updated_on"])
@@ -388,7 +394,10 @@ def _build_json(sf_dir: str) -> str:
         "version": "2.0.0",
         "standard_charge_information": items,
     }
-    path = os.path.join(_FIXTURE_ROOT, f"{sf_dir.strip('/').replace('/', '_')}_mrf.json")
+    path = os.path.join(
+        _FIXTURE_ROOT,
+        f"{sf_dir.strip('/').replace('/', '_').lstrip('._')}_mrf.json",
+    )
     with open(path, "w") as f:
         json.dump(doc, f)
     _FIXTURES[key] = path
