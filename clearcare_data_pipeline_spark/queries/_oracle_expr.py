@@ -205,3 +205,20 @@ tagged AS (
   FROM cleaned)
 )
 """.strip()
+
+
+def materialize_ctes(sql: str) -> str:
+    """Rewrite every ``<name> AS (`` CTE opener to ``AS MATERIALIZED``
+    for the DuckDB side of the gate ONLY (Spark's parser has no
+    MATERIALIZED hint, so the shared templates cannot carry it).
+
+    Why (sf1 lesson): DuckDB may inline multiply-referenced CTEs, so
+    the charges chain — a 6M-row derivation (whose ``proj`` is itself
+    referenced twice by the planted-dup UNION ALL), 22 cleaning
+    expressions, then a 22-string-column GROUP BY dedup — re-ran inside
+    every consumer concurrently and exhausted process memory (malloc
+    ``bad allocation``) under the 48 GB harness cap. Materialized, each
+    stage computes once."""
+    import re
+
+    return re.sub(r"\b([A-Za-z_][A-Za-z0-9_]*) AS \(", r"\1 AS MATERIALIZED (", sql)

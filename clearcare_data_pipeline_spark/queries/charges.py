@@ -19,6 +19,7 @@ from clearcare_data_pipeline_spark.plans.metrics import field_presence
 from clearcare_data_pipeline_spark.plans.rules import RULE_NAMES, tag_violations
 from clearcare_data_pipeline_spark.queries._oracle_expr import (
     cleaned_charges_cte,
+    materialize_ctes,
     tagged_charges_cte,
 )
 from clearcare_data_pipeline_spark.schema import CANONICAL_COLUMNS
@@ -288,7 +289,10 @@ def _oracles() -> dict[str, str]:
     }
 
 
-ORACLES = _oracles()
+# DuckDB-side CTE materialization (see materialize_ctes): without it
+# the inlined charges chain re-runs per consumer and exhausts process
+# memory at sf1.
+ORACLES = {k: materialize_ctes(v) for k, v in _oracles().items()}
 
 
 # --- q: code-type mapping audit (A5) ------------------------------------
@@ -305,7 +309,7 @@ def q_charges_code_type_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["charges_code_type_mappings"] = q_charges_code_type_mappings
-ORACLES["charges_code_type_mappings"] = (
+ORACLES["charges_code_type_mappings"] = materialize_ctes(
     f"WITH {cleaned_charges_cte(_LINEITEM_REL)} "
     "SELECT upper(trim(code_type_raw)) AS raw_code_type, "
     "array_to_string(list_sort(list(DISTINCT code_type)), ',') AS normalized_types "
