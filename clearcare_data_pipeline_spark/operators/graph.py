@@ -39,9 +39,15 @@ def pagerank(
     derivation — the registered query's is a distinct-pair self-join
     over lineitem) is otherwise recomputed by every consumer (node
     list, out-degrees, and each iteration's contribution join —
-    iters + 2 times).
+    iters + 2 times). Spark unpersist is not reference-counted, so a
+    caller-supplied cache must survive this call: we only persist (and
+    later unpersist) when the frame arrived uncached (ADVICE r6).
     """
-    edges = edges.persist()
+    from pyspark import StorageLevel
+
+    we_persisted_edges = edges.storageLevel == StorageLevel.NONE
+    if we_persisted_edges:
+        edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -76,4 +82,5 @@ def pagerank(
         return out
     finally:
         nodes.unpersist()
-        edges.unpersist()
+        if we_persisted_edges:
+            edges.unpersist()

@@ -266,6 +266,7 @@ def blocked_similarity_join(
     text_col: str,
     min_sim: float = 0.7,
     id_col: str = "id",
+    n_salt: int = 1,
 ) -> DataFrame:
     """Record-linkage candidate scoring with blocking.
 
@@ -286,6 +287,15 @@ def blocked_similarity_join(
     parts, ~200 blocks, ~100M pairs in one task). An explicit
     numbered repartition on the block keys is exempt from AQE
     coalescing and keeps the blocks spread.
+
+    Bound (ADVICE r6): with ``n_salt=1`` each block still lands wholly
+    in one task, so one hot block's quadratic pair explosion serializes
+    on one core. ``n_salt=s`` splits every block into s sub-buckets —
+    left rows hash into one sub-bucket, right rows replicate into all
+    s — cutting the largest task s-fold at the cost of an s× right-side
+    shuffle. Output is identical for any s (each (l, r) pair meets in
+    exactly the sub-bucket hash(l) picks). Enable when per-block skew
+    shows up; keep 1 when blocks are already ≪ task-sized.
     """
     n_part = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bkeys = [f"_b_{c}" for c in block_cols]
@@ -293,12 +303,19 @@ def blocked_similarity_join(
         F.col(id_col).alias("left_id"),
         F.col(text_col).alias("left_text"),
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-    ).repartition(n_part, *bkeys)
+    )
     rt = right.select(
         F.col(id_col).alias("right_id"),
         F.col(text_col).alias("right_text"),
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
     )
+    if n_salt > 1:
+        lt = lt.withColumn("_salt", F.pmod(F.hash("left_id"), F.lit(n_salt)))
+        rt = rt.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        bkeys = bkeys + ["_salt"]
+    lt = lt.repartition(n_part, *bkeys)
     joined = lt.join(rt, bkeys).where(
         F.col("left_id") < F.col("right_id")
     )

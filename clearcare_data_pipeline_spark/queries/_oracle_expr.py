@@ -218,7 +218,18 @@ def materialize_ctes(sql: str) -> str:
     expressions, then a 22-string-column GROUP BY dedup — re-ran inside
     every consumer concurrently and exhausted process memory (malloc
     ``bad allocation``) under the 48 GB harness cap. Materialized, each
-    stage computes once."""
+    stage computes once.
+
+    The pattern is anchored to CTE-opener positions — right after
+    ``WITH`` / ``WITH RECURSIVE`` or after the ``,`` separating CTE
+    definitions (ADVICE r6): an unanchored ``<name> AS (`` would also
+    corrupt a named-window clause (``WINDOW w AS (...)``) or a string
+    literal containing ``x AS (``, neither of which can follow a bare
+    comma or WITH in valid SQL."""
     import re
 
-    return re.sub(r"\b([A-Za-z_][A-Za-z0-9_]*) AS \(", r"\1 AS MATERIALIZED (", sql)
+    return re.sub(
+        r"(\bWITH\s+(?:RECURSIVE\s+)?|,\s*)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(",
+        r"\1\2 AS MATERIALIZED (",
+        sql,
+    )

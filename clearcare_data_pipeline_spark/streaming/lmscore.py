@@ -34,7 +34,7 @@ def run_lm_scoring_stream(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_model: bool = True,
+    broadcast_model: bool | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Score an unbounded stream of documents against a static trigram
@@ -44,6 +44,17 @@ def run_lm_scoring_stream(
     replay with idempotent per-batch overwrite semantics handled by
     the parquet append + batch id (replayed batch ids overwrite their
     own output partition)."""
+    if broadcast_model is None:
+        # The model is static across batches: resolve the auto-switch
+        # ONCE here rather than paying the row probe per micro-batch.
+        from clearcare_data_pipeline_spark.operators.textstats import (
+            BROADCAST_MODEL_ROW_CAP,
+        )
+
+        broadcast_model = (
+            model.limit(BROADCAST_MODEL_ROW_CAP + 1).count()
+            <= BROADCAST_MODEL_ROW_CAP
+        )
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         out = score_trigram_counts(

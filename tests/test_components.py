@@ -60,3 +60,19 @@ def test_pagerank_symmetric_pair(spark):
     pr = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
     # perfectly symmetric: both hold 1/2 of the mass at every iteration
     assert abs(pr[1] - 0.5) < 1e-12 and abs(pr[2] - 0.5) < 1e-12
+
+
+def test_pagerank_preserves_caller_cache(spark):
+    """A caller-cached edges frame must stay cached after pagerank
+    returns (ADVICE r6: unpersist is not reference-counted)."""
+    from pyspark import StorageLevel
+
+    from clearcare_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long").persist()
+    try:
+        edges.count()
+        pagerank(edges, iters=2).collect()
+        assert edges.storageLevel != StorageLevel.NONE
+    finally:
+        edges.unpersist()

@@ -63,6 +63,27 @@ def test_keyed_join_path_matches_broadcast_path(spark):
         assert a[k] == b[k]
 
 
+def test_broadcast_auto_switch(spark):
+    """broadcast_model=None broadcasts small models and routes large
+    vocabularies to the keyed join (VERDICT r6 #5)."""
+    from clearcare_data_pipeline_spark.operators.textstats import (
+        doc_trigram_counts,
+        score_trigram_counts,
+        trigram_lm_model_from_counts,
+    )
+
+    doctri = doc_trigram_counts(_docs(spark))
+    model = trigram_lm_model_from_counts(doctri)
+
+    small = score_trigram_counts(doctri, model)  # vocab << default cap
+    assert "Broadcast" in small._jdf.queryExecution().executedPlan().toString()
+
+    big = score_trigram_counts(doctri, model, broadcast_row_cap=1)
+    assert "BroadcastHashJoin" not in big._jdf.queryExecution().executedPlan().toString()
+    key = lambda r: (r["doc_id"], r["n_trigrams"], r["avg_logprob"])
+    assert sorted(map(key, small.collect())) == sorted(map(key, big.collect()))
+
+
 def test_streaming_scoring_matches_batch(spark, tmp_path):
     """Two microbatches of docs scored against a static model come out
     identical to batch scoring of the same docs."""

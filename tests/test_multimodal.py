@@ -118,7 +118,61 @@ def test_audio_features(spark):
     assert feats[1]["n_samples"] == 48000
     assert feats[1]["sample_rate"] == 16000
     assert feats[1]["duration_s"] == "3.000000"
+    assert feats[1]["format"] == "faud"
     assert feats[2]["n_samples"] is None
+
+
+def test_wav_encode_decode_roundtrip():
+    """Built-in real audio codec: bit-exact PCM round-trip through a
+    spec-compliant RIFF/WAVE container (mono and stereo)."""
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    for n_ch in (1, 2):
+        pcm = rng.integers(-32768, 32767, size=256 * n_ch, dtype=np.int16)
+        blob = encode_wav(pcm, 8000, n_channels=n_ch)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        got, rate, ch = decode_wav(blob)
+        assert rate == 8000 and ch == n_ch
+        assert (got == pcm).all()
+    assert decode_wav(b"RIFFxxxxNOPE") is None
+    assert decode_wav(b"garbage") is None
+
+
+def test_audio_features_real_wav(spark):
+    """A true WAV round-trip through the Spark operator: sample-true
+    n_samples/rate/duration and an RMS computed over real samples."""
+    import math
+
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+        make_fake_media,
+        make_wav_bytes,
+    )
+
+    const = encode_wav(np.full(1000, 1000, dtype=np.int16), 16000)
+    rows = [
+        (1, "audio", make_wav_bytes(32000, 16000, seed=3), "mem://w1"),
+        (2, "audio", const, "mem://w2"),
+    ]
+    media = spark.createDataFrame(rows, make_fake_media(spark, 1).schema)
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert feats[1]["format"] == "wav"
+    assert feats[1]["n_samples"] == 32000
+    assert feats[1]["sample_rate"] == 16000
+    assert feats[1]["duration_s"] == "2.000000"
+    assert feats[1]["n_channels"] == 1
+    # constant-amplitude signal: RMS is exactly the amplitude
+    assert math.isclose(float(feats[2]["rms"]), 1000.0, abs_tol=1e-6)
+    assert feats[2]["duration_s"] == "0.062500"
 
 
 def test_bmp_encode_decode_roundtrip_with_padding():
