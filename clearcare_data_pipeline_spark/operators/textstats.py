@@ -291,19 +291,32 @@ def hashed_tf_expr(tokens: Column, dim: int = 64) -> Column:
     bucket (operators/sampling.py hash_bucket_expr) equals i.
 
     Entirely ROW-LOCAL — tokenize, bucket, and count inside one
-    whole-stage-codegen projection; the corpus-wide vectorization step
-    has ZERO shuffles at any scale (contrast TF-IDF, which needs the
-    global document frequencies). The md5 bucketing is the same
-    position-arithmetic used for split membership, so a SQL oracle
-    reproduces the exact vector. O(dim x n_tokens) comparisons per row
-    — fine for feature dims in the hundreds; beyond that, switch to a
-    grouped (explode + count) plan."""
+    projection; the corpus-wide vectorization step has ZERO shuffles at
+    any scale (contrast TF-IDF, which needs the global document
+    frequencies). The md5 bucketing is the same position-arithmetic
+    used for split membership, so a SQL oracle reproduces the exact
+    vector.
+
+    Shape (r7 lesson): counting is a single left-fold over the bucket
+    array — start from a dim-wide zero vector and increment one slot
+    per token. The obvious alternative, ``transform(sequence(0, dim-1),
+    i -> size(filter(buckets, b -> b = i)))``, evaluates the
+    loop-invariant ``buckets`` subtree (one md5 PER TOKEN) once per
+    output dim — Catalyst does not hoist lambda-invariant subtrees, so
+    that plan pays dim x n_tokens md5 calls (measured 19x slower at
+    sf1, dim 64: 35.9 s vs 1.9 s). The fold pays n_tokens md5 calls plus O(dim x
+    n_tokens) cheap array writes; beyond feature dims in the hundreds,
+    switch to a grouped (explode + count) plan."""
     from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_expr
 
     buckets = F.transform(tokens, lambda t: hash_bucket_expr(t, dim))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("long"),
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return F.aggregate(
+        buckets,
+        zero,
+        lambda acc, b: F.transform(
+            acc, lambda c, i: F.when(i == b, c + F.lit(1)).otherwise(c)
+        ),
     )
 
 

@@ -736,12 +736,21 @@ def q_doc_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = words_expr(F.col("text"))
-    tf = hashed_tf_expr(toks, 64)
-    return docs.select(
+    # Two-stage select: the upper project references `tf` twice (as the
+    # output column and inside the norm); inlining the hashed-TF tree in
+    # both spots would pay the per-token md5 bucketing twice per row.
+    # CollapseProject keeps the stages separate because the duplicated
+    # expression is non-cheap.
+    staged = docs.select(
         "doc_id",
-        tf.alias("tf"),
+        hashed_tf_expr(toks, 64).alias("tf"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(l2_norm_expr(tf), 6).alias("l2_norm"),
+    )
+    return staged.select(
+        "doc_id",
+        "tf",
+        "n_tokens",
+        F.round(l2_norm_expr(F.col("tf")), 6).alias("l2_norm"),
     )
 
 
