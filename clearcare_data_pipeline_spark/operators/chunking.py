@@ -38,7 +38,11 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = words_expr(F.col(text_col))
+    # Tokens staged as a projection column: the per-start lambdas read
+    # the array (and its size) repeatedly, and Catalyst does not hoist
+    # lambda-invariant subtrees (r7 lesson, textstats.hashed_tf_expr) —
+    # an inline split would re-tokenize once per candidate start.
+    toks = F.col("_toks")
     n = F.size(toks)
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
@@ -55,8 +59,12 @@ def chunk_documents(
         ),
         lambda c: c["len"] > 0,
     )
-    return df.select(
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
+        words_expr(F.col(text_col)).alias("_toks"),
+    )
+    return staged.select(
+        "doc_id",
         F.posexplode(chunks).alias("chunk_id", "c"),
     ).select(
         "doc_id",

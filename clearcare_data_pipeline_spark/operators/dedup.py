@@ -59,9 +59,15 @@ def incremental_exact_dedup(
     return fresh.join(keep, ["_fp", "doc_id"], "inner").drop("_fp")
 
 
-def shingles_expr(text: Column, n: int = 5) -> Column:
-    """Distinct word n-gram shingles as an array of strings."""
-    tokens = words_expr(text)
+def shingles_expr(tokens: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles from a pre-staged TOKEN ARRAY.
+
+    Takes the token array, not the raw text: ``tokens`` is referenced
+    inside the per-index slice lambda, and Catalyst does not hoist
+    lambda-invariant subtrees (r7 lesson, see ``hashed_tf_expr``) — an
+    inline tokenization expression here would re-split the text once
+    per shingle index, O(tokens^2) per row. Callers stage the token
+    array as its own projection column first (``doc_shingles``)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")
@@ -70,10 +76,17 @@ def shingles_expr(text: Column, n: int = 5) -> Column:
 
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5) -> DataFrame:
-    """(doc_id, shingle) exploded pairs, distinct per doc."""
-    return df.select(
+    """(doc_id, shingle) exploded pairs, distinct per doc. Tokens are
+    staged in their own projection so the per-index shingle lambda
+    reads a bound column, not a re-evaluated split (see
+    ``shingles_expr``)."""
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+        words_expr(F.col(text_col)).alias("_toks"),
+    )
+    return staged.select(
+        "doc_id",
+        F.explode(shingles_expr(F.col("_toks"), n)).alias("shingle"),
     )
 
 

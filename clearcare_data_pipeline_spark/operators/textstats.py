@@ -143,8 +143,13 @@ def trigram_occurrences(
     a 0..n-3 index sequence) — no per-document window sort, no shuffle;
     the explode is a narrow fan-out exactly like the chunker
     (operators/chunking.py). Documents shorter than 3 tokens produce no
-    rows."""
-    toks = words_expr(F.col(text_col))
+    rows.
+
+    The token array is staged as its own projection column: the
+    per-index lambda reads it three times, and Catalyst does not hoist
+    lambda-invariant subtrees (r7 lesson, see ``hashed_tf_expr``) — an
+    inline tokenization would re-split the text 3x per trigram index."""
+    toks = F.col("_toks")
     tri = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.struct(
@@ -153,9 +158,11 @@ def trigram_occurrences(
             F.element_at(toks, i + 3).alias("w3"),
         ),
     )
+    staged = docs.select(
+        id_col, words_expr(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") >= 3)
     return (
-        docs.where(F.size(words_expr(F.col(text_col))) >= 3)
-        .select(id_col, F.explode(tri).alias("t"))
+        staged.select(id_col, F.explode(tri).alias("t"))
         .select(id_col, "t.w1", "t.w2", "t.w3")
     )
 
