@@ -2,7 +2,8 @@
 # End-of-round artifact refresh checklist. Run from the repo root with
 # the round number:
 #
-#   sh tools/round_close.sh 5
+#   sh tools/round_close.sh 7            # fast artifacts (sf0.01)
+#   sh tools/round_close.sh 7 --sf1      # + the full sf1 oracle gate
 #
 # Produces/refreshes, in order:
 #   1. green pytest suite                 (correctness of non-relational adapters)
@@ -10,10 +11,13 @@
 #   3. PLAN_AUDIT.md                      (physical-plan audit, exits nonzero on violations)
 #   4. BENCH_local_r{N}.json              (informal local bench; the driver records
 #                                          the official BENCH_r{N}.json itself)
+#   5. (--sf1) CORRECTNESS_SF1_r{N}.json  (full oracle gate at sf1, segmented fresh
+#                                          processes + auto-retry — regenerates
+#                                          .localdata/sf1 if absent)
 #
 # Each step fails the script so a red artifact never silently ships.
 set -e
-N="${1:?usage: sh tools/round_close.sh <round-number>}"
+N="${1:?usage: sh tools/round_close.sh <round-number> [--sf1]}"
 R=$(printf 'r%02d' "$N")
 
 python -m pytest tests/ -q
@@ -21,3 +25,9 @@ python tools/verify_local.py --out "CORRECTNESS_LOCAL_${R}.json" /root/testdata/
 python tools/plan_audit.py /root/testdata/sf0.01
 python bench.py > "BENCH_local_${R}.json"
 echo "round ${N} artifacts refreshed: CORRECTNESS_LOCAL_${R}.json PLAN_AUDIT.md BENCH_local_${R}.json"
+
+if [ "$2" = "--sf1" ]; then
+    [ -d .localdata/sf1 ] || python tools/make_testdata.py --sf 1 --out .localdata/sf1
+    python tools/verify_segmented.py .localdata/sf1 --out "CORRECTNESS_SF1_${R}.json"
+    echo "sf1 gate artifact: CORRECTNESS_SF1_${R}.json"
+fi
