@@ -19,6 +19,30 @@ from pyspark.sql import functions as F
 NUM_PLANES = 8
 PLANE_DIM = 64
 
+# Auto-scaled signature width for the near-dup path: with a FIXED
+# plane count the bucket count is constant, so bucket width grows
+# linearly with the corpus and the intra-bucket pair join is O(n^2)
+# (measured 99x wall time for 10x data at sf10). Scaling the plane
+# count so that 2^planes * TARGET_BUCKET_WIDTH >= n keeps the expected
+# bucket width constant and the pair join linear in n. The rule is
+# integer-exact (smallest p with (1 << p) * width >= n) so the DuckDB
+# oracle twin derives the identical p from the same count — no
+# float log2 edge cases at exact powers of two.
+LSH_TARGET_BUCKET_WIDTH = 64
+MAX_AUTO_PLANES = 24
+
+
+def derive_num_planes(
+    n: int,
+    target_width: int = LSH_TARGET_BUCKET_WIDTH,
+    min_planes: int = NUM_PLANES,
+    max_planes: int = MAX_AUTO_PLANES,
+) -> int:
+    for p in range(min_planes, max_planes + 1):
+        if (1 << p) * target_width >= n:
+            return p
+    return max_planes
+
 
 def _plane(j: int) -> list[float]:
     return [float(((i * 37 + j * 101) % 19) - 9) for i in range(PLANE_DIM)]
@@ -113,34 +137,59 @@ def cosine_topk(
     )
 
 
-def lsh_bucket_expr(dvec: Column) -> Column:
-    """8-bit hyperplane signature: bit j set iff dot(v, plane_j) >= 0.
+def lsh_bucket_expr(dvec: Column, num_planes: int = NUM_PLANES) -> Column:
+    """``num_planes``-bit hyperplane signature: bit j set iff
+    dot(v, plane_j) >= 0.
 
     One ``transform`` over a constant plane-matrix literal (runtime
-    loop) instead of 8 unrolled dot-product trees — same
+    loop) instead of unrolled dot-product trees — same
     codegen-size rationale as ``ivf_cell_expr``."""
     planes = F.array(
-        *[F.array(*[F.lit(w) for w in _plane(j)]) for j in range(NUM_PLANES)]
+        *[F.array(*[F.lit(w) for w in _plane(j)]) for j in range(num_planes)]
     )
     bits = F.transform(
         planes,
         lambda pv, j: F.when(
-            dot_expr(dvec, pv) >= 0, F.pow(F.lit(2.0), j).cast("int")
-        ).otherwise(F.lit(0)),
+            dot_expr(dvec, pv) >= 0, F.pow(F.lit(2.0), j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
     )
-    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
-def lsh_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def lsh_buckets(
+    df: DataFrame, id_col: str = "vec_id", num_planes: int = NUM_PLANES
+) -> DataFrame:
     d = with_norm(df, "embedding")
-    return d.select(F.col(id_col), lsh_bucket_expr(F.col("dvec")).alias("bucket"), "dvec", "norm")
+    return d.select(
+        F.col(id_col),
+        lsh_bucket_expr(F.col("dvec"), num_planes).alias("bucket"),
+        "dvec",
+        "norm",
+    )
 
 
-def lsh_near_dup_pairs(df: DataFrame, min_cosine: float = 0.99, id_col: str = "vec_id") -> DataFrame:
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.99,
+    id_col: str = "vec_id",
+    num_planes: int | None = None,
+) -> DataFrame:
     """Near-duplicate vector pairs: bucket by hyperplane signature,
     score only intra-bucket pairs (the 100 TB-safe plan: a keyed
-    self-join, never a cross product)."""
-    b = lsh_buckets(df, id_col)
+    self-join, never a cross product).
+
+    ``num_planes=None`` (default) derives the signature width from the
+    corpus size via ``derive_num_planes`` — one extra O(n) count pass —
+    so expected bucket width, and with it the intra-bucket quadratic,
+    stays constant as the corpus grows. Identical exact copies always
+    share a bucket at any width; recall for NON-identical pairs at the
+    threshold decays as planes are added (cos 0.99 collides per-plane
+    with p ~ 0.955), so a recall-critical deployment should OR several
+    independent signature bands (the MinHash-band construction in
+    operators/dedup.py) rather than pin a low plane count."""
+    if num_planes is None:
+        num_planes = derive_num_planes(df.count())
+    b = lsh_buckets(df, id_col, num_planes)
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
     right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
     return (

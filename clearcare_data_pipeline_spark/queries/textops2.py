@@ -788,6 +788,13 @@ ORACLES["doc_hashed_tf"] = _hashed_tf_oracle()
 
 _TF_QUERY_MOD = 251
 _TF_TOPK = 5
+# Fixed evaluation workload (sf10 lesson, same rationale as
+# queries/similarity.py _QUERY_ID_BOUND): the retrieval query set is
+# doc_id % 251 == 0 AND doc_id < 50000 — every id at sf <= 1, a fixed
+# ~200-query sample beyond — so the brute-force baseline scales with
+# the corpus, not with corpus x queries (measured 102x for 10x data
+# when both sides grew).
+_TF_QUERY_ID_BOUND = 50000
 
 
 def q_doc_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,7 +819,9 @@ def q_doc_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    queries = vecs.where(F.col("vec_id") % _TF_QUERY_MOD == 0)
+    queries = vecs.where(
+        (F.col("vec_id") % _TF_QUERY_MOD == 0) & (F.col("vec_id") < _TF_QUERY_ID_BOUND)
+    )
     return cosine_topk(vecs, queries, k=_TF_TOPK)
 
 
@@ -841,7 +850,8 @@ v AS (
   FROM b
 ),
 n AS (SELECT vec_id, dv, sqrt({dot.format(a='dv', b='dv')}) AS nrm FROM v),
-q AS (SELECT * FROM n WHERE vec_id % {_TF_QUERY_MOD} = 0),
+q AS (SELECT * FROM n
+      WHERE vec_id % {_TF_QUERY_MOD} = 0 AND vec_id < {_TF_QUERY_ID_BOUND}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     round({dot.format(a='c.dv', b='q.dv')} / (c.nrm * q.nrm), 6) AS cos_sim

@@ -257,6 +257,11 @@ def stage_cache_path(kind: str, sf_dir: str, version_key: str) -> str:
     generator version, input fingerprint). Any change to the generator
     source or the input parquet yields a new directory, so stale
     results can never be served."""
+    # Canonicalize before keying: a relative and an absolute spelling
+    # of the same dataset must hit the same cache entry (observed: a
+    # relative ".localdata/sf10" rebuilt a 2.5 GB extract stage that
+    # already existed under its absolute-path key).
+    sf_dir = os.path.realpath(sf_dir)
     digest = hashlib.sha256(
         (version_key + "\x00" + _source_fingerprint(sf_dir)).encode()
     ).hexdigest()[:16]

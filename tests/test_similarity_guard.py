@@ -37,3 +37,23 @@ def test_cosine_topk_stays_exact_under_cap(spark, monkeypatch):
     monkeypatch.setattr(similarity, "ivf_topk_nprobe", boom)
     out = similarity.cosine_topk(_vecs(spark, 20), _vecs(spark, 5, prefix=100), k=2)
     assert out.groupBy("query_id").count().count() == 5
+
+
+def test_derive_num_planes_scaling():
+    """Auto plane count keeps expected bucket width <= target: smallest
+    p in [8, 24] with (1 << p) * 64 >= n (integer-exact, same rule the
+    DuckDB oracle replays from count(*))."""
+    assert similarity.derive_num_planes(0) == 8
+    assert similarity.derive_num_planes(16_384) == 8  # 2^8 * 64 boundary
+    assert similarity.derive_num_planes(16_385) == 9
+    assert similarity.derive_num_planes(208_000) == 12
+    assert similarity.derive_num_planes(10**12) == 24  # capped
+
+
+def test_near_dup_pairs_auto_planes_matches_explicit(spark):
+    vecs = _vecs(spark, 30)
+    auto = similarity.lsh_near_dup_pairs(vecs, min_cosine=0.9)
+    explicit = similarity.lsh_near_dup_pairs(
+        vecs, min_cosine=0.9, num_planes=similarity.derive_num_planes(30)
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
