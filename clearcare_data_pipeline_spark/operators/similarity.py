@@ -15,37 +15,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Deterministic integer-valued hyperplanes: plane_j[i] = ((i*37 + j*101) % 19) - 9.
+# Deterministic integer-valued hyperplanes: plane_j[i] = ((i*37 + j*101) % 19) - 9
+# for j < 19. The base formula cycles with period 19 in j (101 = 6 mod
+# 19), so planes 19.. would silently duplicate planes 0.. and add zero
+# discrimination; the (j // 19)-keyed term below breaks the cycle while
+# leaving every j < 19 plane bit-identical to the original family.
 NUM_PLANES = 8
 PLANE_DIM = 64
 
-# Auto-scaled signature width for the near-dup path: with a FIXED
-# plane count the bucket count is constant, so bucket width grows
-# linearly with the corpus and the intra-bucket pair join is O(n^2)
-# (measured 99x wall time for 10x data at sf10). Scaling the plane
-# count so that 2^planes * TARGET_BUCKET_WIDTH >= n keeps the expected
-# bucket width constant and the pair join linear in n. The rule is
-# integer-exact (smallest p with (1 << p) * width >= n) so the DuckDB
-# oracle twin derives the identical p from the same count — no
-# float log2 edge cases at exact powers of two.
-LSH_TARGET_BUCKET_WIDTH = 64
-MAX_AUTO_PLANES = 24
-
-
-def derive_num_planes(
-    n: int,
-    target_width: int = LSH_TARGET_BUCKET_WIDTH,
-    min_planes: int = NUM_PLANES,
-    max_planes: int = MAX_AUTO_PLANES,
-) -> int:
-    for p in range(min_planes, max_planes + 1):
-        if (1 << p) * target_width >= n:
-            return p
-    return max_planes
-
 
 def _plane(j: int) -> list[float]:
-    return [float(((i * 37 + j * 101) % 19) - 9) for i in range(PLANE_DIM)]
+    b = j // 19
+    return [
+        float(((i * (37 + 7 * b) + j * 101 + 3 * b) % 19) - 9)
+        for i in range(PLANE_DIM)
+    ]
+
+
+# Adaptive signature refinement for the near-dup path. A FIXED plane
+# count fails twice at scale: bucket count is constant, so uniform
+# growth makes bucket width linear in n (O(n^2) pairs — measured 99x
+# wall time for 10x data at sf10); and a count-derived width still
+# leaves directionally-clustered data in a few hot buckets (measured at
+# sf10: 12 planes sized for width 64 left 3,000-wide blob buckets and
+# 86M candidate pairs for 4,000 true matches). The fix is a prefix
+# tree: compute one deep signature per vector, then give every vector
+# the SHORTEST signature prefix along LSH_REFINE_LADDER whose bucket
+# holds at most LSH_LEAF_CAP vectors. Prefixes nest (low signature bits
+# are the first planes), so the leaf choice is a function of the bucket
+# — never of the individual vector — and the leaves partition the
+# corpus. Dense regions refine deeper, sparse regions stay coarse, and
+# the pair join is bounded by n x LSH_LEAF_CAP everywhere except
+# max-depth leaves (vectors agreeing on all ladder planes — at the
+# integer-plane angular resolution floor, where candidates cannot be
+# distinguished further and are simply scored).
+LSH_REFINE_LADDER = (8, 12, 16, 19, 24, 32)
+LSH_LEAF_CAP = 64
 
 
 def as_double_vec(col: Column) -> Column:
@@ -156,15 +161,99 @@ def lsh_bucket_expr(dvec: Column, num_planes: int = NUM_PLANES) -> Column:
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
+def _lsh_signature_pandas(num_planes: int):
+    """Arrow-batched hyperplane signature — the wide-signature fast
+    path. Higher-order-function column expressions are interpreted
+    (never whole-stage codegen), so a 32-plane x 64-dim signature costs
+    ~2k interpreted ops per row; the numpy version below accumulates
+    each (row, plane) dot product in DIMENSION-MAJOR order starting
+    from 0.0 — the identical IEEE-double operation sequence as the
+    sequential left-fold in ``dot_expr`` and the DuckDB ``list_reduce``
+    twin, so the sign test (and hence every bucket id) is bit-identical
+    across all three evaluators (same discipline as the k-means
+    assignment crossover in operators/clustering.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.array([_plane(j) for j in range(num_planes)])
+    pows = 1 << np.arange(num_planes, dtype=np.int64)
+
+    def sig(v):
+        if len(v) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        x = np.stack(v.to_numpy())
+        # Vectors shorter than PLANE_DIM dot against the plane PREFIX —
+        # the same range(1, len(dv)+1) semantics as the DuckDB twin.
+        pm = pmat[:, : x.shape[1]]
+        acc = np.zeros((x.shape[0], pmat.shape[0]))
+        for dim in range(pm.shape[1]):
+            acc = acc + x[:, dim, None] * pm[None, :, dim]
+        return pd.Series(((acc >= 0) * pows).sum(axis=1))
+
+    # This module uses PEP 563 (stringified) annotations, which the
+    # pandas_udf type-hint inference cannot resolve for locally
+    # imported names — attach real annotation objects instead.
+    sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "bigint")
+
+
+# Past this signature width the interpreted HOF expression loses to the
+# Arrow round-trip; below it the column expression avoids the
+# serialization entirely (the 8-plane default stays expression-only).
+LSH_ARROW_MIN_PLANES = 16
+
+
 def lsh_buckets(
     df: DataFrame, id_col: str = "vec_id", num_planes: int = NUM_PLANES
 ) -> DataFrame:
     d = with_norm(df, "embedding")
-    return d.select(
-        F.col(id_col),
-        lsh_bucket_expr(F.col("dvec"), num_planes).alias("bucket"),
-        "dvec",
-        "norm",
+    if num_planes >= LSH_ARROW_MIN_PLANES:
+        bucket = _lsh_signature_pandas(num_planes)(F.col("dvec"))
+    else:
+        bucket = lsh_bucket_expr(F.col("dvec"), num_planes)
+    return d.select(F.col(id_col), bucket.alias("bucket"), "dvec", "norm")
+
+
+def refined_lsh_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, bucket, dvec, norm) under the adaptive prefix-refinement
+    scheme (see LSH_REFINE_LADDER): one deep signature pass per vector,
+    a signature-histogram pass (distinct signatures, far smaller than
+    the corpus), coarse widths derived FROM that histogram (tiny
+    aggregations, never corpus-sized), and one keyed join mapping each
+    signature to its leaf bucket. Bucket ids encode (prefix, ladder
+    level) so leaves from different depths can never collide."""
+    full = LSH_REFINE_LADDER[-1]
+    levels = len(LSH_REFINE_LADDER)
+    # Persisted: the deep signature feeds the histogram, every ladder
+    # width aggregation, and BOTH sides of the downstream pair join —
+    # without the cache each consumer re-runs the corpus-wide signature
+    # pass (~9 evaluations of the most expensive stage). MLlib-style
+    # tradeoff — the cache is LRU-evicted; rows are (id, sig, dvec,
+    # norm), i.e. ~9 doubles per input vector.
+    d = (
+        lsh_buckets(df, id_col, full)
+        .withColumnRenamed("bucket", "sig")
+        .persist()
+    )
+    sigs = d.groupBy("sig").count().persist()
+    m = sigs
+    for idx, p in enumerate(LSH_REFINE_LADDER):
+        w = (
+            sigs.groupBy((F.col("sig") % F.lit(2**p)).alias(f"_p{idx}"))
+            .agg(F.sum("count").alias(f"_w{idx}"))
+        )
+        m = m.join(w, (F.col("sig") % F.lit(2**p)) == F.col(f"_p{idx}")).drop(f"_p{idx}")
+    bucket = F.col("sig") * levels + F.lit(len(LSH_REFINE_LADDER) - 1)
+    for idx in range(levels - 2, -1, -1):
+        p = LSH_REFINE_LADDER[idx]
+        bucket = F.when(
+            F.col(f"_w{idx}") <= LSH_LEAF_CAP,
+            (F.col("sig") % F.lit(2**p)) * levels + F.lit(idx),
+        ).otherwise(bucket)
+    mapping = m.select("sig", bucket.alias("bucket"))
+    return d.join(mapping, "sig").select(
+        F.col(id_col), "bucket", "dvec", "norm"
     )
 
 
@@ -178,18 +267,22 @@ def lsh_near_dup_pairs(
     score only intra-bucket pairs (the 100 TB-safe plan: a keyed
     self-join, never a cross product).
 
-    ``num_planes=None`` (default) derives the signature width from the
-    corpus size via ``derive_num_planes`` — one extra O(n) count pass —
-    so expected bucket width, and with it the intra-bucket quadratic,
-    stays constant as the corpus grows. Identical exact copies always
-    share a bucket at any width; recall for NON-identical pairs at the
-    threshold decays as planes are added (cos 0.99 collides per-plane
-    with p ~ 0.955), so a recall-critical deployment should OR several
-    independent signature bands (the MinHash-band construction in
-    operators/dedup.py) rather than pin a low plane count."""
+    ``num_planes=None`` (default) uses the adaptive prefix refinement
+    (``refined_lsh_buckets``): dense signature regions split deeper
+    along LSH_REFINE_LADDER until buckets hold at most LSH_LEAF_CAP
+    vectors, so the intra-bucket quadratic is bounded regardless of
+    corpus size OR directional skew. Identical exact copies share the
+    full signature, hence always one leaf, at any depth; recall for
+    NON-identical pairs at the threshold decays as their region
+    refines (cos 0.99 collides per-plane with p ~ 0.955), so a
+    recall-critical deployment should OR several independent signature
+    bands (the MinHash-band construction in operators/dedup.py) on top.
+    An explicit ``num_planes`` keeps the fixed-width single-level
+    bucketing."""
     if num_planes is None:
-        num_planes = derive_num_planes(df.count())
-    b = lsh_buckets(df, id_col, num_planes)
+        b = refined_lsh_buckets(df, id_col)
+    else:
+        b = lsh_buckets(df, id_col, num_planes)
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
     right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
     return (

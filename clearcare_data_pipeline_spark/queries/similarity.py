@@ -83,27 +83,15 @@ def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(_emb(spark, sf_dir)).select("vec_id", "bucket")
 
 
-def _bucket_sql(dv: str = "dv", np_expr: str | None = None) -> str:
-    """Hyperplane-signature bucket as SQL. With ``np_expr`` (a SQL
-    scalar yielding the derived plane count) the signature is computed
-    over MAX_AUTO_PLANES masked terms — term j contributes only when
-    ``j < np_expr`` — so the oracle derives the same auto-scaled width
-    as ``derive_num_planes`` from the same corpus count. The j >= np
-    branch comes FIRST in the CASE so the per-plane dot product is
-    never evaluated for masked planes."""
-    from clearcare_data_pipeline_spark.operators.similarity import MAX_AUTO_PLANES
-
-    n_terms = NUM_PLANES if np_expr is None else MAX_AUTO_PLANES
+def _bucket_sql(dv: str = "dv", n_planes: int = NUM_PLANES) -> str:
+    """``n_planes``-wide hyperplane-signature bucket as SQL (bit j set
+    iff dot(v, plane_j) >= 0, same plane family as the Spark side)."""
     terms = []
-    for j in range(n_terms):
+    for j in range(n_planes):
         plane = "[" + ", ".join(str(int(w)) for w in _plane(j)) + "]"
-        if np_expr is None:
-            terms.append(f"CASE WHEN {_dot(dv, plane)} >= 0 THEN {2**j} ELSE 0 END")
-        else:
-            terms.append(
-                f"CASE WHEN {j} >= ({np_expr}) THEN 0 "
-                f"WHEN {_dot(dv, plane)} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
-            )
+        terms.append(
+            f"CASE WHEN {_dot(dv, plane)} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        )
     return " + ".join(terms)
 
 
@@ -125,29 +113,61 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(vecs.unionByName(copies), min_cosine=_MIN_COS)
 
 
-_NEAR_DUP_ORACLE = f"""
-WITH corpus AS (
+def _near_dup_oracle() -> str:
+    """Twin of the adaptive prefix refinement (refined_lsh_buckets):
+    one deep signature, widths per ladder prefix computed from the
+    signature histogram, each signature mapped to its shortest
+    at-most-LSH_LEAF_CAP prefix bucket (level-tagged ids)."""
+    from clearcare_data_pipeline_spark.operators.similarity import (
+        LSH_LEAF_CAP,
+        LSH_REFINE_LADDER,
+    )
+
+    levels = len(LSH_REFINE_LADDER)
+    full = LSH_REFINE_LADDER[-1]
+    widths = ",\n".join(
+        f"w{i} AS MATERIALIZED (SELECT sig % {2**p} AS p, sum(cnt) AS w "
+        f"FROM sc GROUP BY 1)"
+        for i, p in enumerate(LSH_REFINE_LADDER)
+    )
+    wjoins = " ".join(
+        f"JOIN w{i} ON sc.sig % {2**p} = w{i}.p"
+        for i, p in enumerate(LSH_REFINE_LADDER)
+    )
+    cases = " ".join(
+        f"WHEN w{i}.w <= {LSH_LEAF_CAP} THEN (sc.sig % {2**p}) * {levels} + {i}"
+        for i, p in enumerate(LSH_REFINE_LADDER[:-1])
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
   SELECT * FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, embedding, label
   FROM embeddings WHERE vec_id % {_NEAR_DUP_MOD} = 0
 ),
-npd AS (
-  SELECT min(p) AS np
-  FROM (SELECT unnest(range(8, 25)) AS p), (SELECT count(*) AS cn FROM corpus)
-  WHERE (CAST(1 AS BIGINT) << p) * 64 >= cn OR p = 24
-),
-n AS (
+n AS MATERIALIZED (
   SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm,
-         {_bucket_sql('dv', '(SELECT np FROM npd)')} AS bucket
+         {_bucket_sql('dv', full)} AS sig
   FROM (SELECT vec_id, {_DV} AS dv FROM corpus)
+),
+sc AS MATERIALIZED (SELECT sig, count(*) AS cnt FROM n GROUP BY sig),
+{widths},
+mp AS MATERIALIZED (
+  SELECT sc.sig, CASE {cases} ELSE sc.sig * {levels} + {levels - 1} END AS bucket
+  FROM sc {wjoins}
+),
+nb AS MATERIALIZED (
+  SELECT n.vec_id, n.dv, n.nrm, mp.bucket FROM n JOIN mp USING (sig)
 )
 SELECT l.vec_id AS a, r.vec_id AS b,
   round({_dot('l.dv', 'r.dv')} / (l.nrm * r.nrm), 6) AS cos_sim
-FROM n l JOIN n r USING (bucket)
+FROM nb l JOIN nb r USING (bucket)
 WHERE l.vec_id < r.vec_id
   AND round({_dot('l.dv', 'r.dv')} / (l.nrm * r.nrm), 6) >= {_MIN_COS}
 """
+
+
+_NEAR_DUP_ORACLE = _near_dup_oracle()
 
 
 # --- per-label aggregates ----------------------------------------------
@@ -386,10 +406,15 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the kept representative). The planted exact copies (cos = 1.0,
     same cluster by determinism) are what the flag must catch.
 
-    k is auto-derived as ceil(n / SEMDEDUP_TARGET_WIDTH) (VERDICT r5
-    #2) so cluster width — and the per-cluster quadratic stage — stays
-    constant as the corpus scales; the oracle recomputes the identical
-    k from the same count."""
+    The partitioning is hierarchical_assign (recursive 32-way k-means
+    splitting until every cluster is at most SEMDEDUP_TARGET_WIDTH
+    wide): cluster width — and the per-cluster quadratic stage — stays
+    constant as the corpus scales, while every assignment pass scores
+    at most 32 centroids per point, so the whole pipeline is
+    O(n log n). (The round-5 flat auto-k design kept the pairwise
+    linear but paid an O(n x k) = O(n^2/32) assignment — 75x wall time
+    for 10x data at sf10.) The oracle replays the identical recursion
+    level by level."""
     from clearcare_data_pipeline_spark.operators.clustering import semantic_dedup
 
     vecs = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -406,15 +431,11 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_oracle() -> str:
     from clearcare_data_pipeline_spark.operators.clustering import (
-        SEMDEDUP_TARGET_WIDTH,
-        kmeans_oracle_sql,
+        hierarchical_kmeans_oracle_sql,
     )
 
-    k_sql = (
-        f"CAST(greatest(1, ceil(count(*) / {float(SEMDEDUP_TARGET_WIDTH)})) AS INT)"
-    )
-    kmeans = kmeans_oracle_sql(
-        "corpus", "embedding", "vec_id", k_sql, _SEMDEDUP_ITERS
+    kmeans = hierarchical_kmeans_oracle_sql(
+        "corpus", "embedding", "vec_id", iters=_SEMDEDUP_ITERS
     )
     return f"""
 WITH corpus AS (

@@ -39,21 +39,47 @@ def test_cosine_topk_stays_exact_under_cap(spark, monkeypatch):
     assert out.groupBy("query_id").count().count() == 5
 
 
-def test_derive_num_planes_scaling():
-    """Auto plane count keeps expected bucket width <= target: smallest
-    p in [8, 24] with (1 << p) * 64 >= n (integer-exact, same rule the
-    DuckDB oracle replays from count(*))."""
-    assert similarity.derive_num_planes(0) == 8
-    assert similarity.derive_num_planes(16_384) == 8  # 2^8 * 64 boundary
-    assert similarity.derive_num_planes(16_385) == 9
-    assert similarity.derive_num_planes(208_000) == 12
-    assert similarity.derive_num_planes(10**12) == 24  # capped
+def test_plane_family_distinct_beyond_cycle():
+    """The base plane formula cycles with period 19 in j; the extended
+    family must not duplicate planes (a duplicated plane adds a
+    signature bit that can never split a bucket), while leaving every
+    j < 19 plane bit-identical to the original formula."""
+    planes = [tuple(similarity._plane(j)) for j in range(32)]
+    assert len(set(planes)) == 32
+    for j in range(19):
+        base = tuple(float(((i * 37 + j * 101) % 19) - 9) for i in range(64))
+        assert planes[j] == base
 
 
-def test_near_dup_pairs_auto_planes_matches_explicit(spark):
-    vecs = _vecs(spark, 30)
-    auto = similarity.lsh_near_dup_pairs(vecs, min_cosine=0.9)
-    explicit = similarity.lsh_near_dup_pairs(
-        vecs, min_cosine=0.9, num_planes=similarity.derive_num_planes(30)
-    )
-    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+def test_refined_buckets_partition_and_leaf_cap(spark):
+    """Adaptive refinement: buckets partition the corpus, identical
+    vectors always share a leaf, and every leaf below the ladder's
+    maximum depth respects LSH_LEAF_CAP."""
+    import collections
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(10)] + [
+        (100 + i, [float(i % 7) - 3.0, float((i * 5) % 11), 1.0]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = similarity.refined_lsh_buckets(df).select("vec_id", "bucket").collect()
+    assert len(got) == 50 and len({r.vec_id for r in got}) == 50
+    by_bucket = collections.defaultdict(list)
+    for r in got:
+        by_bucket[r.bucket].append(r.vec_id)
+    # the 10 identical vectors share one leaf
+    clones = {r.bucket for r in got if r.vec_id < 10}
+    assert len(clones) == 1
+    levels = len(similarity.LSH_REFINE_LADDER)
+    for b, members in by_bucket.items():
+        if b % levels < levels - 1:
+            assert len(members) <= similarity.LSH_LEAF_CAP
+
+
+def test_near_dup_pairs_finds_planted_copies(spark):
+    rows = [(i, [float(i % 7) + 1.0, float((i * 3) % 5), 1.0]) for i in range(35)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    copies = df.withColumn("vec_id", df.vec_id + 1000)
+    out = similarity.lsh_near_dup_pairs(df.unionByName(copies), min_cosine=0.999999)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    for i in range(35):
+        assert (i, i + 1000) in pairs
