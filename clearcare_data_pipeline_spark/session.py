@@ -35,7 +35,20 @@ def get_spark(app_name: str = "clearcare-spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode runs driver AND all executor threads in ONE JVM, so
+        # the heap must scale with the thread count: 8g shared by 32
+        # codegen'd scan threads left the old gen pinned near-full after
+        # a few sf1-sized queries, and allocation-heavy stages (the
+        # 22-regex rule tagger) then ran 4-6x slower purely on GC churn
+        # (measured: 6.1s vs 1.3s for charges_rule_counts at sf1 in a
+        # warm bench session). 1 GiB per local core, floor 8g; -Xmx is a
+        # cap, not a reservation, so small runs pay nothing. On a real
+        # cluster the driver carries no executor threads and this knob
+        # is overridden by the deployment (SPARK_DRIVER_MEMORY).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{max(8, os.cpu_count() or 8)}g"),
+        )
         # The verify harness collects multi-million-row results via
         # toPandas; the 1g default aborts a >1 GiB collect at sf1 (and
         # the severed Arrow stream then surfaces as confusing
