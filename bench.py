@@ -17,7 +17,10 @@ Methodology (VERDICT r4 ask #1):
 * ``skew_demo`` times the same hot-keyed join plain vs through
   operators/skew.py ``salted_join`` (broadcast + AQE skew rewrite
   disabled for the demo only, isolating the shape the operator exists
-  for: the middle regime AQE does not rewrite).
+  for: the middle regime AQE does not rewrite);
+* a full JVM collection runs between each query's warmup and its timed
+  runs (JMH-style trial hygiene) so no query inherits the session's
+  accumulated GC debt — see ``_force_gc``.
 """
 
 from __future__ import annotations
@@ -88,16 +91,44 @@ HEADLINE = [
 ]
 
 
-def _time_runs(fn, n: int = N_RUNS) -> list[float]:
+def _force_gc(spark) -> None:
+    """Full JVM collection between queries (JMH-style trial hygiene).
+
+    A long bench session accumulates old-gen garbage across dozens of
+    queries; collecting between trials makes per-query timings
+    independent of session position — no query inherits its
+    predecessors' garbage, while a query's OWN allocation pressure
+    still lands inside its timed runs. (Cheap insurance, not a cure
+    for the multi-second sf1 outliers once blamed on GC: ``-Xlog:gc*``
+    showed <1 s total pause time inside a 25 s slow window — those were
+    leftover-JVM contamination, see ``_foreign_jvms``.)
+    """
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+
+
+def _time_runs(fn, n: int = N_RUNS, spark=None) -> list[float]:
     """One untimed warmup (absorbs per-query plan compilation and
     codegen, which would otherwise dominate the spread) then ``n``
-    timed runs."""
+    timed runs. When ``spark`` is given, inherited JVM garbage is
+    collected after the warmup so timings start from a clean heap."""
     fn()
+    if spark is not None:
+        _force_gc(spark)
     out = []
     for _ in range(n):
         t0 = time.time()
         fn()
         out.append(time.time() - t0)
+    if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
+        print(
+            f"[bench-debug] t={time.time():.1f} runs="
+            + ",".join(f"{x:.2f}" for x in out),
+            file=sys.stderr,
+            flush=True,
+        )
     return out
 
 
@@ -170,8 +201,8 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
                 .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
             )
 
-        plain_runs = _time_runs(plain)
-        salted_runs = _time_runs(salted)
+        plain_runs = _time_runs(plain, spark=spark)
+        salted_runs = _time_runs(salted, spark=spark)
     finally:
         for key, val in saved.items():
             conf.set(key, val)
@@ -181,9 +212,43 @@ def _skew_demo(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _foreign_jvms() -> list[int]:
+    """PIDs of Spark/Java processes that are NOT this bench's own JVM.
+
+    A leftover JVM from an earlier run (killed mid-query, or a
+    still-draining background bench) silently competes for every core
+    and contaminates timings by 2-5x — measured at sf1: the same
+    scan+agg query read 1.2 s on a quiet machine and 5.8-6.1 s with one
+    orphan churning an interpreted HOF stage; GC/heap were exonerated
+    by ``-Xlog:gc*`` (total pause time <1 s in a 25 s window). The scan
+    runs BEFORE this process launches its own JVM, so anything found is
+    foreign by construction.
+    """
+    pids = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace")
+        except OSError:
+            continue
+        if "SparkSubmit" in cmd or "org.apache.spark" in cmd:
+            pids.append(int(pid))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    foreign = _foreign_jvms()
+    if foreign:
+        print(
+            f"[bench] WARNING: {len(foreign)} other Spark JVM(s) alive "
+            f"(pids {foreign}) — timings will be contaminated",
+            file=sys.stderr,
+            flush=True,
+        )
     spark = get_spark("clearcare-bench")
     queries = entrymod.queries()
 
@@ -231,7 +296,9 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        runs = _time_runs(lambda: _materialize(queries[name](spark, sf_dir)))
+        runs = _time_runs(
+            lambda: _materialize(queries[name](spark, sf_dir)), spark=spark
+        )
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
@@ -239,7 +306,9 @@ def main() -> None:
     for name in EXTENDED:
         if name not in queries:
             continue
-        runs = _time_runs(lambda: _materialize(queries[name](spark, sf_dir)))
+        runs = _time_runs(
+            lambda: _materialize(queries[name](spark, sf_dir)), spark=spark
+        )
         ext_timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
@@ -262,11 +331,17 @@ def main() -> None:
                 "extended_core_total_sec": round(
                     sum(v for k, v in ext_timings.items() if k in EXTENDED_CORE), 3
                 ),
+                # non-empty = another Spark JVM was alive at bench
+                # start; treat every number in this artifact as suspect
+                "concurrent_jvms_at_start": foreign,
                 "skew_demo": skew_demo,
                 "sf": sf,
             }
         )
     )
+    # Explicit stop so the JVM exits with this process — a lingering
+    # JVM would contaminate the NEXT bench (see _foreign_jvms).
+    spark.stop()
 
 
 if __name__ == "__main__":

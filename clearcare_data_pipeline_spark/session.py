@@ -35,16 +35,18 @@ def get_spark(app_name: str = "clearcare-spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Local mode runs driver AND all executor threads in ONE JVM, so
-        # the heap must scale with the thread count: 8g shared by 32
-        # codegen'd scan threads left the old gen pinned near-full after
-        # a few sf1-sized queries, and allocation-heavy stages (the
-        # 22-regex rule tagger) then ran 4-6x slower purely on GC churn
-        # (measured: 6.1s vs 1.3s for charges_rule_counts at sf1 in a
-        # warm bench session). 1 GiB per local core, floor 8g; -Xmx is a
-        # cap, not a reservation, so small runs pay nothing. On a real
-        # cluster the driver carries no executor threads and this knob
-        # is overridden by the deployment (SPARK_DRIVER_MEMORY).
+        # Local mode runs driver AND all executor threads in ONE JVM,
+        # so the heap scales with the thread count: 1 GiB per local
+        # core, floor 8g. -Xmx is a cap, not a reservation, so small
+        # runs pay nothing; sf10-sized runs (60M-row shuffles + pinned
+        # broadcast codebooks across 32 threads) get headroom instead
+        # of spilling. (An earlier note here blamed GC churn for 4-6x
+        # sf1 bench outliers; -Xlog:gc* later exonerated GC — the
+        # outliers were a leftover JVM from a killed run competing for
+        # cores, now guarded against in bench.py. A/B at sf1 measured
+        # 8g vs 32g as a wash on a quiet machine.) On a real cluster
+        # the driver carries no executor threads and deployments
+        # override this knob (SPARK_DRIVER_MEMORY).
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_DRIVER_MEMORY", f"{max(8, os.cpu_count() or 8)}g"),
