@@ -113,10 +113,14 @@ def _time_runs(fn, n: int = N_RUNS, spark=None) -> list[float]:
     """One untimed warmup (absorbs per-query plan compilation and
     codegen, which would otherwise dominate the spread) then ``n``
     timed runs. When ``spark`` is given, inherited JVM garbage is
-    collected after the warmup so timings start from a clean heap."""
-    fn()
+    collected BEFORE the warmup: the warmup run then absorbs both plan
+    compilation and the post-collection heap re-expansion (G1 shrinks
+    the committed heap after a full GC; collecting after the warmup
+    instead leaked a measured ~5-10% re-expansion cost into the first
+    timed run)."""
     if spark is not None:
         _force_gc(spark)
+    fn()
     out = []
     for _ in range(n):
         t0 = time.time()
