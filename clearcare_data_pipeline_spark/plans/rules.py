@@ -90,13 +90,25 @@ def rule_predicates() -> dict[str, Column]:
 def tag_violations(df: DataFrame) -> DataFrame:
     """Add one BOOLEAN column per rule plus ``rules_violated``
     (comma-joined tags, '' when clean) — computed in one projection so
-    Catalyst shares subexpressions across the count/split consumers."""
+    Catalyst shares subexpressions across the count/split consumers.
+
+    ``rules_violated`` is built with ``concat_ws`` (which skips NULL
+    operands) rather than the equivalent
+    ``array_join(array_compact(array(...)))``: ``array_compact`` is a
+    higher-order function, and HOFs never enter whole-stage codegen —
+    the whole 10-predicate tree re-evaluated per row through the
+    interpreted expression walker (``CreateArray.eval`` /
+    ``ArrayFilter.eval``, boxed accessors, linear child-list walks).
+    Measured at sf1: the interpreted form ran 1.1 s or 6.1 s per scan
+    depending on per-process JIT luck over the shared interpreter
+    methods; the concat_ws form stays inside codegen and is stable.
+    Same output either way: both join the fired rule names with ','
+    and yield '' for a clean row.
+    """
     preds = rule_predicates()
     df = df.withColumns({name: pred for name, pred in preds.items()})
-    tags = F.array(
-        *[F.when(F.col(name), F.lit(name)).otherwise(F.lit(None)) for name in RULE_NAMES]
-    )
-    return df.withColumn("rules_violated", F.array_join(F.array_compact(tags), ","))
+    tags = [F.when(F.col(name), F.lit(name)) for name in RULE_NAMES]
+    return df.withColumn("rules_violated", F.concat_ws(",", *tags))
 
 
 def split_clean_quarantine(tagged: DataFrame) -> tuple[DataFrame, DataFrame]:
