@@ -208,28 +208,51 @@ tagged AS (
 
 
 def materialize_ctes(sql: str) -> str:
-    """Rewrite every ``<name> AS (`` CTE opener to ``AS MATERIALIZED``
-    for the DuckDB side of the gate ONLY (Spark's parser has no
-    MATERIALIZED hint, so the shared templates cannot carry it).
+    """Rewrite MULTIPLY-REFERENCED ``<name> AS (`` CTE openers to
+    ``AS MATERIALIZED`` for the DuckDB side of the gate ONLY (Spark's
+    parser has no MATERIALIZED hint, so the shared templates cannot
+    carry it).
 
-    Why (sf1 lesson): DuckDB may inline multiply-referenced CTEs, so
-    the charges chain — a 6M-row derivation (whose ``proj`` is itself
-    referenced twice by the planted-dup UNION ALL), 22 cleaning
-    expressions, then a 22-string-column GROUP BY dedup — re-ran inside
-    every consumer concurrently and exhausted process memory (malloc
-    ``bad allocation``) under the 48 GB harness cap. Materialized, each
-    stage computes once.
+    Why (sf1 lesson): DuckDB inlines CTEs, so the charges chain — a
+    6M-row derivation (whose ``proj`` is itself referenced twice by the
+    planted-dup UNION ALL), 22 cleaning expressions, then a
+    22-string-column GROUP BY dedup — re-ran inside every consumer
+    concurrently and exhausted process memory (malloc ``bad
+    allocation``) under the 48 GB harness cap. Materialized, each
+    shared stage computes once.
 
-    The pattern is anchored to CTE-opener positions — right after
-    ``WITH`` / ``WITH RECURSIVE`` or after the ``,`` separating CTE
-    definitions (ADVICE r6): an unanchored ``<name> AS (`` would also
-    corrupt a named-window clause (``WINDOW w AS (...)``) or a string
-    literal containing ``x AS (``, neither of which can follow a bare
-    comma or WITH in valid SQL."""
+    Why only multiply-referenced ones (sf10 lesson): a single-reference
+    CTE is computed exactly once either way, but ``AS MATERIALIZED``
+    forces its full intermediate to temp storage instead of pipelining
+    — at sf10 the five linear stages of the charges chain are each
+    42.8M rows x 22 columns, and blanket materialization filled the
+    disk (``No space left on device`` in duckdb_temp_storage) where the
+    pipelined form streams with bounded memory. Reference counting is
+    word-occurrence over the SQL text minus the definition itself;
+    a stray match (e.g. a string literal) only over-materializes,
+    which is the prior behavior.
+
+    The rewrite pattern is anchored to CTE-opener positions — right
+    after ``WITH`` / ``WITH RECURSIVE`` or after the ``,`` separating
+    CTE definitions (ADVICE r6): an unanchored ``<name> AS (`` would
+    also corrupt a named-window clause (``WINDOW w AS (...)``) or a
+    string literal containing ``x AS (``, neither of which can follow
+    a bare comma or WITH in valid SQL."""
     import re
 
-    return re.sub(
-        r"(\bWITH\s+(?:RECURSIVE\s+)?|,\s*)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(",
-        r"\1\2 AS MATERIALIZED (",
+    opener = re.compile(
+        r"(\bWITH\s+(?:RECURSIVE\s+)?|,\s*)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\("
+    )
+
+    def refs(name: str) -> int:
+        # occurrences beyond the definition opener itself
+        return len(re.findall(rf"\b{re.escape(name)}\b", sql)) - 1
+
+    return opener.sub(
+        lambda m: (
+            f"{m.group(1)}{m.group(2)} AS MATERIALIZED ("
+            if refs(m.group(2)) >= 2
+            else m.group(0)
+        ),
         sql,
     )
