@@ -138,8 +138,14 @@ def _time_runs(fn, n: int = N_RUNS, spark=None) -> list[float]:
 
 def _trimmed_spread(runs: list[float]) -> float:
     """Max-min after dropping the single fastest and slowest run —
-    the dispersion of the runs that actually determine the median."""
-    mid = sorted(runs)[1:-1] if len(runs) > 2 else sorted(runs)
+    the dispersion of the runs that actually determine the median.
+
+    Trimming only applies when there are >= 5 runs: at 3 runs (the sf1/
+    sf10 setting) trimming left a single element, so every reported
+    spread was 0.0 by construction (VERDICT r7 defect #2). Below 5 runs
+    the honest dispersion is the full min-max range.
+    """
+    mid = sorted(runs)[1:-1] if len(runs) >= 5 else sorted(runs)
     return mid[-1] - mid[0]
 
 
@@ -242,10 +248,42 @@ def _foreign_jvms() -> list[int]:
     return pids
 
 
+def _wait_for_clean_machine() -> list[int]:
+    """Block until no foreign Spark JVM is alive, then return the final
+    scan (VERDICT r7 defect #1: the r7 driver bench recorded a foreign
+    JVM at start and a uniform ~1.4x inflation — the guard *recorded*
+    contamination but nothing prevented it).
+
+    Polls every 5 s for up to ``SPARK_GRAFT_BENCH_WAIT_CLEAN_SEC``
+    (default 900; 0 disables blocking entirely). If JVMs remain after
+    the timeout the bench proceeds and the artifact records them in
+    ``concurrent_jvms_at_start`` as before — blocked-but-dirty beats
+    silently-dirty, and a hung foreign JVM shouldn't wedge the round.
+    """
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_CLEAN_SEC", "900"))
+    deadline = time.time() + budget
+    foreign = _foreign_jvms()
+    waited = False
+    while foreign and time.time() < deadline:
+        if not waited:
+            print(
+                f"[bench] waiting up to {budget:.0f}s for foreign Spark "
+                f"JVM(s) {foreign} to drain before timing",
+                file=sys.stderr,
+                flush=True,
+            )
+            waited = True
+        time.sleep(5)
+        foreign = _foreign_jvms()
+    if waited and not foreign:
+        print("[bench] machine clean, starting", file=sys.stderr, flush=True)
+    return foreign
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    foreign = _foreign_jvms()
+    foreign = _wait_for_clean_machine()
     if foreign:
         print(
             f"[bench] WARNING: {len(foreign)} other Spark JVM(s) alive "

@@ -148,14 +148,25 @@ def lsh_bucket_expr(dvec: Column, num_planes: int = NUM_PLANES) -> Column:
 
     One ``transform`` over a constant plane-matrix literal (runtime
     loop) instead of unrolled dot-product trees — same
-    codegen-size rationale as ``ivf_cell_expr``."""
+    codegen-size rationale as ``ivf_cell_expr``.
+
+    Both sides of each dot are sliced to min(len(v), PLANE_DIM) first
+    (ADVICE r7 #1): ``zip_with`` null-pads the shorter array, so a
+    vector whose length differs from the 64-long plane literal used to
+    turn every product NULL — every bit fell to the otherwise(0) branch
+    and all such vectors collapsed into bucket 0 (a silent O(n^2) pair
+    join). The slice restores the plane-PREFIX semantics the pandas
+    path (``pm[:, :x.shape[1]]``) and the DuckDB ``_bucket_sql`` twin
+    always had, so the three evaluators agree for any dimension."""
+    n = F.least(F.size(dvec), F.lit(PLANE_DIM))
+    v = F.slice(dvec, 1, n)
     planes = F.array(
         *[F.array(*[F.lit(w) for w in _plane(j)]) for j in range(num_planes)]
     )
     bits = F.transform(
         planes,
         lambda pv, j: F.when(
-            dot_expr(dvec, pv) >= 0, F.pow(F.lit(2.0), j).cast("bigint")
+            dot_expr(v, F.slice(pv, 1, n)) >= 0, F.pow(F.lit(2.0), j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint")),
     )
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
@@ -182,7 +193,22 @@ def _lsh_signature_pandas(num_planes: int):
     def sig(v):
         if len(v) == 0:
             return pd.Series(np.zeros(0, dtype=np.int64))
-        x = np.stack(v.to_numpy())
+        arrs = v.to_numpy()
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        if (lens == lens[0]).all():
+            x = np.stack(arrs)
+        else:
+            # Ragged batch (ADVICE r7 #4): np.stack raises ValueError on
+            # mixed lengths, killing the stage for a few irregular rows.
+            # Zero-pad to PLANE_DIM instead — bit-safe for the sign
+            # test, because each padded dim adds exactly 0.0 to the
+            # dimension-major accumulator (x + 0.0 == x for every
+            # finite x; the lone -0.0 -> +0.0 case doesn't move >= 0),
+            # so short rows keep the same prefix-dot semantics.
+            x = np.zeros((len(arrs), pmat.shape[1]))
+            for i, a in enumerate(arrs):
+                m = min(len(a), pmat.shape[1])
+                x[i, :m] = np.asarray(a[:m])
         # Vectors shorter than PLANE_DIM dot against the plane PREFIX —
         # the same range(1, len(dv)+1) semantics as the DuckDB twin.
         pm = pmat[:, : x.shape[1]]

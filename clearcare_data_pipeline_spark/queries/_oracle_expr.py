@@ -232,27 +232,101 @@ def materialize_ctes(sql: str) -> str:
     a stray match (e.g. a string literal) only over-materializes,
     which is the prior behavior.
 
-    The rewrite pattern is anchored to CTE-opener positions — right
-    after ``WITH`` / ``WITH RECURSIVE`` or after the ``,`` separating
-    CTE definitions (ADVICE r6): an unanchored ``<name> AS (`` would
-    also corrupt a named-window clause (``WINDOW w AS (...)``) or a
-    string literal containing ``x AS (``, neither of which can follow
-    a bare comma or WITH in valid SQL."""
+    Opener positions come from a real CTE-list walk, not a regex over
+    the whole text (ADVICE r7 #2 closed the two holes the anchored
+    regex still had): starting at each ``WITH`` keyword outside a
+    string literal, the scanner reads ``name AS (``, skips the
+    parenthesized body with a literal-aware depth counter (rule
+    predicates carry regexes with parens inside quotes), and continues
+    only across the commas SEPARATING CTE definitions. A named-window
+    clause (``WINDOW w1 AS (...), w2 AS (...)``) is therefore
+    unreachable — it follows the main SELECT, where the walk has
+    already stopped — including the multi-window second entry the old
+    comma anchor could corrupt. Reference counting is
+    case-INSENSITIVE, matching SQL identifier semantics."""
     import re
 
-    opener = re.compile(
-        r"(\bWITH\s+(?:RECURSIVE\s+)?|,\s*)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\("
+    n = len(sql)
+
+    def skip_literal(pos: int) -> int:
+        # pos at the opening quote; returns index past the closing one
+        pos += 1
+        while pos < n:
+            if sql[pos] == "'":
+                if pos + 1 < n and sql[pos + 1] == "'":  # '' escape
+                    pos += 2
+                    continue
+                return pos + 1
+            pos += 1
+        return pos
+
+    def skip_body(pos: int) -> int:
+        # pos at '('; returns index past the matching ')'
+        depth = 0
+        while pos < n:
+            c = sql[pos]
+            if c == "'":
+                pos = skip_literal(pos)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return pos + 1
+            pos += 1
+        return pos
+
+    # string-literal spans, so WITH inside a literal never starts a walk
+    lit_spans = []
+    i = 0
+    while i < n:
+        if sql[i] == "'":
+            j = skip_literal(i)
+            lit_spans.append((i, j))
+            i = j
+        else:
+            i += 1
+
+    def in_literal(pos: int) -> bool:
+        return any(a <= pos < b for a, b in lit_spans)
+
+    name_as = re.compile(
+        r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?:MATERIALIZED\s+)?(\()",
+        re.IGNORECASE,
     )
+    openers: list[tuple[int, str]] = []  # (index of '(', cte name)
+    for m in re.finditer(r"\bWITH\b(?:\s+RECURSIVE\b)?", sql, re.IGNORECASE):
+        if in_literal(m.start()):
+            continue
+        pos = m.end()
+        while True:
+            nm = name_as.match(sql, pos)
+            if not nm:
+                break  # CTE list over — main SELECT (or bad parse) next
+            openers.append((nm.start(2), nm.group(1)))
+            pos = skip_body(nm.start(2))
+            sep = re.match(r"\s*,", sql[pos:])
+            if not sep:
+                break
+            pos += sep.end()
+
+    # a WITH nested inside a CTE body yields openers out of document
+    # order relative to the outer list — the splice needs them sorted
+    openers = sorted(set(openers))
 
     def refs(name: str) -> int:
         # occurrences beyond the definition opener itself
-        return len(re.findall(rf"\b{re.escape(name)}\b", sql)) - 1
+        return len(re.findall(rf"\b{re.escape(name)}\b", sql, re.IGNORECASE)) - 1
 
-    return opener.sub(
-        lambda m: (
-            f"{m.group(1)}{m.group(2)} AS MATERIALIZED ("
-            if refs(m.group(2)) >= 2
-            else m.group(0)
-        ),
-        sql,
-    )
+    out = []
+    prev = 0
+    for paren_pos, name in openers:
+        if refs(name) >= 2 and not re.search(
+            r"MATERIALIZED\s*$", sql[prev:paren_pos], re.IGNORECASE
+        ):
+            out.append(sql[prev:paren_pos])
+            out.append("MATERIALIZED (")
+            prev = paren_pos + 1
+    out.append(sql[prev:])
+    return "".join(out)

@@ -13,6 +13,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap_gib() -> int:
+    """Driver -Xmx in GiB: 1 per local core, floor 8, clamped to half
+    of physical RAM (ADVICE r7 #3: on a high-core/low-RAM host, e.g.
+    96 cores / 64 GB, the unclamped max(8, cpu_count) let the heap
+    grow past physical memory and the OS OOM-killer took the JVM where
+    the old 8g cap would merely have spilled). SPARK_DRIVER_MEMORY
+    still overrides everything."""
+    cores = max(8, os.cpu_count() or 8)
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    mem_gib = int(line.split()[1]) // (1024 * 1024)
+                    break
+            else:
+                return cores
+    except OSError:
+        return cores
+    return max(2, min(cores, mem_gib // 2))
+
+
 def get_spark(app_name: str = "clearcare-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-appropriate defaults.
 
@@ -37,7 +58,8 @@ def get_spark(app_name: str = "clearcare-spark", shuffle_partitions: int | None 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Local mode runs driver AND all executor threads in ONE JVM,
         # so the heap scales with the thread count: 1 GiB per local
-        # core, floor 8g. -Xmx is a cap, not a reservation, so small
+        # core, floor 8g, clamped to half of physical RAM (see
+        # _default_heap_gib). -Xmx is a cap, not a reservation, so small
         # runs pay nothing; sf10-sized runs (60M-row shuffles + pinned
         # broadcast codebooks across 32 threads) get headroom instead
         # of spilling. (An earlier note here blamed GC churn for 4-6x
@@ -49,7 +71,7 @@ def get_spark(app_name: str = "clearcare-spark", shuffle_partitions: int | None 
         # override this knob (SPARK_DRIVER_MEMORY).
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEMORY", f"{max(8, os.cpu_count() or 8)}g"),
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{_default_heap_gib()}g"),
         )
         # The verify harness collects multi-million-row results via
         # toPandas; the 1g default aborts a >1 GiB collect at sf1 (and

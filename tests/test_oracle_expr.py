@@ -59,3 +59,40 @@ def test_leaves_string_literal_alone():
     out = materialize_ctes(sql)
     assert "'x AS ('" in out
     assert out.count("AS MATERIALIZED (") == 1
+
+
+def test_leaves_multi_window_clause_alone():
+    # ADVICE r7 #2: the second entry of a multi-window clause follows a
+    # comma and used to be reachable by the comma-anchored opener.
+    sql = (
+        "WITH a AS (SELECT 1 AS x) "
+        "SELECT sum(x) OVER w1, avg(x) OVER w2, (SELECT max(x) FROM a) "
+        "FROM a, a a2, a a3 "
+        "WINDOW w1 AS (ORDER BY x), w2 AS (ORDER BY x DESC), "
+        "w2_b AS (PARTITION BY x) "
+        "SELECT 1 FROM x WHERE y = w2 AND z = w2"
+    )
+    out = materialize_ctes(sql)
+    assert "WINDOW w1 AS (ORDER BY x), w2 AS (ORDER BY x DESC)" in out
+    assert out.count("AS MATERIALIZED (") == 1  # only the CTE `a`
+
+
+def test_refs_counted_case_insensitively():
+    # ADVICE r7 #2: SQL identifiers are case-insensitive — `A` and `a`
+    # are the same CTE, so it is multiply referenced and must
+    # materialize (losing it dropped the OOM protection).
+    sql = "WITH a AS (SELECT 1 AS x) SELECT * FROM A JOIN a a2 ON true"
+    out = materialize_ctes(sql)
+    assert "WITH a AS MATERIALIZED (" in out
+
+
+def test_regex_parens_inside_cte_body_literals():
+    # rule-predicate oracles carry regexes with unbalanced parens in
+    # string literals — the body skipper must not miscount depth
+    sql = (
+        "WITH a AS (SELECT regexp_matches(s, '^[(]+', 'i') FROM t),\n"
+        "b AS (SELECT * FROM a UNION ALL SELECT * FROM a) SELECT * FROM b"
+    )
+    out = materialize_ctes(sql)
+    assert "a AS MATERIALIZED (" in out
+    assert "b AS MATERIALIZED" not in out

@@ -83,3 +83,50 @@ def test_near_dup_pairs_finds_planted_copies(spark):
     pairs = {(r.a, r.b) for r in out.collect()}
     for i in range(35):
         assert (i, i + 1000) in pairs
+
+
+def test_expr_and_pandas_signatures_agree_off_dimension(spark):
+    """ADVICE r7 #1/#4: for vectors whose length differs from PLANE_DIM
+    the expression path used to NULL out every dot (zip_with padding)
+    and collapse all vectors into bucket 0; the pandas path used to
+    np.stack-crash on ragged batches. Both must now produce the same
+    plane-PREFIX signature for short, exact, long, and mixed lengths."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, -2.0, 3.0]),                       # short
+        (2, [float((i * 7) % 11) - 5.0 for i in range(64)]),   # exact
+        (3, [float((i * 5) % 13) - 6.0 for i in range(80)]),   # long
+        (4, [-1.0] * 10),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    d = similarity.with_norm(df, "embedding")
+    expr8 = d.select(
+        "vec_id", similarity.lsh_bucket_expr(F.col("dvec"), 8).alias("b")
+    )
+    pandas8 = d.select(
+        "vec_id", similarity._lsh_signature_pandas(8)(F.col("dvec")).alias("b")
+    )
+    got_e = {r.vec_id: r.b for r in expr8.collect()}
+    got_p = {r.vec_id: r.b for r in pandas8.collect()}
+    assert got_e == got_p
+    # not everything collapsed into bucket 0
+    assert set(got_e.values()) != {0}
+
+
+def test_pandas_signature_truncates_to_plane_dim(spark):
+    """A >PLANE_DIM vector must hash identically to its 64-dim prefix
+    (the pm[:, :64] semantics), in both uniform and ragged batches."""
+    from pyspark.sql import functions as F
+
+    long_vec = [float((i * 7) % 11) - 5.0 for i in range(100)]
+    rows = [(1, long_vec), (2, long_vec[:64]), (3, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1)
+    d = similarity.with_norm(df, "embedding")
+    out = {
+        r.vec_id: r.b
+        for r in d.select(
+            "vec_id", similarity._lsh_signature_pandas(32)(F.col("dvec")).alias("b")
+        ).collect()
+    }
+    assert out[1] == out[2]

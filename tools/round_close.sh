@@ -31,3 +31,12 @@ if [ "$2" = "--sf1" ]; then
     python tools/verify_segmented.py .localdata/sf1 --out "CORRECTNESS_SF1_${R}.json"
     echo "sf1 gate artifact: CORRECTNESS_SF1_${R}.json"
 fi
+
+# Leave the machine JVM-clean for the driver's own bench (VERDICT r7
+# defect #1: BENCH_r07 inherited a still-draining builder JVM and read
+# ~1.4x slow across the board). Wait up to 10 min for any Spark JVM to
+# exit on its own — a builder-side gate may legitimately be finishing —
+# then kill whatever remains. bench.py's block-until-clean guard is the
+# second line of defense on the driver side.
+python tools/drain_jvms.py --wait 600 --kill
+echo "machine JVM-clean for the driver bench"
