@@ -406,15 +406,15 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the kept representative). The planted exact copies (cos = 1.0,
     same cluster by determinism) are what the flag must catch.
 
-    The partitioning is hierarchical_assign (recursive 32-way k-means
-    splitting until every cluster is at most SEMDEDUP_TARGET_WIDTH
-    wide): cluster width — and the per-cluster quadratic stage — stays
-    constant as the corpus scales, while every assignment pass scores
-    at most 32 centroids per point, so the whole pipeline is
-    O(n log n). (The round-5 flat auto-k design kept the pairwise
-    linear but paid an O(n x k) = O(n^2/32) assignment — 75x wall time
-    for 10x data at sf10.) The oracle replays the identical recursion
-    level by level."""
+    The partitioning is count-keyed (VERDICT r7 #3): flat auto-k
+    Lloyd's up to SEMDEDUP_FLAT_MAX_N vectors (no multi-level driver
+    round-trips — the ~8 s fixed hierarchy overhead dominated small
+    corpora), hierarchical_assign beyond (recursive 32-way splitting,
+    every assignment pass scoring at most 32 centroids per point —
+    O(n log n), where the flat O(n x k) = O(n^2/32) assignment was 75x
+    wall time for 10x data at sf10). The oracle derives the same count
+    from the same corpus and replays whichever branch it selects, so
+    the crossover can never desynchronize the engines."""
     from clearcare_data_pipeline_spark.operators.clustering import semantic_dedup
 
     vecs = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -431,10 +431,10 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_oracle() -> str:
     from clearcare_data_pipeline_spark.operators.clustering import (
-        hierarchical_kmeans_oracle_sql,
+        semantic_partition_oracle_sql,
     )
 
-    kmeans = hierarchical_kmeans_oracle_sql(
+    kmeans = semantic_partition_oracle_sql(
         "corpus", "embedding", "vec_id", iters=_SEMDEDUP_ITERS
     )
     return f"""
