@@ -34,3 +34,48 @@ def test_salt_larger_than_block(spark):
     base = blocked_similarity_join(df, df, ["blk"], "txt", min_sim=0.0, n_salt=1)
     salted = blocked_similarity_join(df, df, ["blk"], "txt", min_sim=0.0, n_salt=17)
     assert base.count() == salted.count()
+
+
+def test_auto_salt_probes_hot_block(spark):
+    """VERDICT r7 #5: n_salt='auto' must derive the split from the
+    block-width probe — a hot block over the target splits, a uniform
+    input stays at 1 — with identical output either way."""
+    hot = [(i, "blk0", f"txt{i % 9}") for i in range(60)]
+    cold = [(1000 + i, f"b{i}", f"txt{i}") for i in range(10)]
+    df = spark.createDataFrame(hot + cold, ["id", "blk", "txt"])
+
+    stats = {}
+    out = blocked_similarity_join(
+        df, df, ["blk"], "txt", min_sim=0.0,
+        n_salt="auto", target_block_pairs=500, stats=stats,
+    )
+    # hot block: 60x60 = 3600 pairs / 500 target -> ceil = 8
+    assert stats["n_salt"] == 8
+    base = blocked_similarity_join(df, df, ["blk"], "txt", min_sim=0.0, n_salt=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+    stats2 = {}
+    blocked_similarity_join(
+        df, df, ["blk"], "txt", min_sim=0.0,
+        n_salt="auto", target_block_pairs=10_000, stats=stats2,
+    ).count()
+    assert stats2["n_salt"] == 1
+
+
+def test_auto_salt_caps_and_handles_empty(spark):
+    from clearcare_data_pipeline_spark.operators.joins import SALT_MAX
+
+    rows = [(i, "blk0", "t") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "blk", "txt"])
+    stats = {}
+    blocked_similarity_join(
+        df, df, ["blk"], "txt", n_salt="auto", target_block_pairs=1, stats=stats
+    ).count()
+    assert stats["n_salt"] == SALT_MAX
+
+    empty = df.where("id < 0")
+    stats2 = {}
+    out = blocked_similarity_join(
+        empty, empty, ["blk"], "txt", n_salt="auto", stats=stats2
+    )
+    assert out.count() == 0 and stats2["n_salt"] == 1
