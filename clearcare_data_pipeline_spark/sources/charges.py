@@ -165,11 +165,24 @@ SELECT hospital_name, zip_code, code, code_type, description, drug_unit,
        gross_charge, discounted_cash_price, min_price, max_price,
        estimated_amount, setting, additional_notes, modifiers
 FROM (
-  SELECT * FROM proj
-  UNION ALL
-  SELECT * FROM proj WHERE k % 97 = 0
+  SELECT p.* FROM proj p
+  CROSS JOIN (SELECT 0 AS dup_i UNION ALL SELECT 1 AS dup_i) d
+  WHERE d.dup_i = 0 OR p.k % 97 = 0
 )
 """
+# Planted-dup shape note (r8): the duplicated k%97 slice used to be a
+# self-UNION ALL (`proj UNION ALL proj WHERE k%97=0`). Referencing proj
+# twice made it multiply-referenced, which (a) forced the DuckDB oracle
+# to MATERIALIZE the whole 42.8M-row x 22-string-column projection —
+# ~65 GB of temp spill at sf10, more than this machine's free disk, the
+# death of the r7 sf10 charges verify segment — and (b) cost Spark two
+# lineitem scans + two projection passes, since an uncached CTE is
+# inlined per consumer there too. The 2-row multiplier CROSS JOIN emits
+# the identical multiset (every row once, the k%97 slice twice) from
+# ONE reference: DuckDB pipelines the whole derivation with zero
+# corpus-sized materialization, Spark plans one scan + a broadcast
+# 2-row join. Same lesson at 100 TB: express row multiplication as a
+# small-side join, never as a self-union of a fact-sized relation.
 
 
 def charges_sql(lineitem_relation: str = "lineitem") -> str:
