@@ -117,8 +117,12 @@ def _time_runs(fn, n: int = N_RUNS, spark=None) -> list[float]:
     compilation and the post-collection heap re-expansion (G1 shrinks
     the committed heap after a full GC; collecting after the warmup
     instead leaked a measured ~5-10% re-expansion cost into the first
-    timed run)."""
-    if spark is not None:
+    timed run).
+
+    ``SPARK_GRAFT_BENCH_NO_GC=1`` disables the between-trial
+    collection entirely — the r6-and-earlier behavior — so harness
+    drift can be A/B-attributed (VERDICT r7 #4) without editing code."""
+    if spark is not None and not os.environ.get("SPARK_GRAFT_BENCH_NO_GC"):
         _force_gc(spark)
     fn()
     out = []
@@ -344,8 +348,12 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
+    # Headline-only mode: cheap repeated runs for harness-attribution
+    # experiments (VERDICT r7 #4) — skips EXTENDED and the skew demo.
+    headline_only = bool(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"))
+
     ext_timings: dict[str, float] = {}
-    for name in EXTENDED:
+    for name in EXTENDED if not headline_only else []:
         if name not in queries:
             continue
         runs = _time_runs(
@@ -354,7 +362,7 @@ def main() -> None:
         ext_timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
-    skew_demo = _skew_demo(spark, sf_dir)
+    skew_demo = _skew_demo(spark, sf_dir) if not headline_only else {}
 
     total = round(sum(timings.values()), 3)
     print(
