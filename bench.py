@@ -337,9 +337,28 @@ def main() -> None:
     except Exception:
         pass
 
+    # Headline-only mode: cheap repeated runs for harness-attribution
+    # experiments (VERDICT r7 #4) — skips EXTENDED and the skew demo.
+    headline_only = bool(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"))
+
+    # Comma-separated query-name filter: bench only the named queries
+    # (both lists keep their order). For targeted re-measurement of
+    # the queries whose plans changed in a round, without paying the
+    # full suite at big scale factors. Totals over a filtered run are
+    # NOT comparable to full-run headlines — the artifact records the
+    # filter so a reader can tell.
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+
+    def _selected(names):
+        return [n for n in names if not only or n in only]
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in _selected(HEADLINE):
         if name not in queries:
             continue
         runs = _time_runs(
@@ -348,12 +367,8 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
-    # Headline-only mode: cheap repeated runs for harness-attribution
-    # experiments (VERDICT r7 #4) — skips EXTENDED and the skew demo.
-    headline_only = bool(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"))
-
     ext_timings: dict[str, float] = {}
-    for name in EXTENDED if not headline_only else []:
+    for name in _selected(EXTENDED) if not headline_only else []:
         if name not in queries:
             continue
         runs = _time_runs(
@@ -362,7 +377,7 @@ def main() -> None:
         ext_timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
-    skew_demo = _skew_demo(spark, sf_dir) if not headline_only else {}
+    skew_demo = _skew_demo(spark, sf_dir) if not (headline_only or only) else {}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -386,6 +401,7 @@ def main() -> None:
                 "concurrent_jvms_at_start": foreign,
                 "skew_demo": skew_demo,
                 "sf": sf,
+                **({"only_filter": sorted(only)} if only else {}),
             }
         )
     )
