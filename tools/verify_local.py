@@ -18,6 +18,7 @@ import json
 import math
 import os
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -111,6 +112,15 @@ def main() -> int:
         # <4 GB actually resident; 8 threads completes them in ~1 min.
         c.execute(f"SET threads={os.environ.get('VERIFY_DUCKDB_THREADS', '8')}")
         c.execute("SET preserve_insertion_order=false")
+        # Per-PROCESS spill directory: the default is .tmp under the
+        # CWD, so two verify processes launched from the same checkout
+        # delete each other's temp_storage files mid-query (observed
+        # as IO "Could not remove file .tmp/duckdb_temp_storage-2.tmp"
+        # aborts when the sf10 gate ran queries in parallel). A
+        # pid-keyed path makes concurrent gates safe by construction.
+        tmpdir = f"{tempfile.gettempdir()}/duckdb_spill_{os.getpid()}"
+        os.makedirs(tmpdir, exist_ok=True)
+        c.execute(f"SET temp_directory='{tmpdir}'")
         for t in TESTDATA_TABLES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
