@@ -52,6 +52,25 @@ def _plane(j: int) -> list[float]:
 LSH_REFINE_LADDER = (8, 12, 16, 19, 24, 32)
 LSH_LEAF_CAP = 64
 
+# Flat-vs-ladder crossover for the near-dup pair operator (the same
+# count-keyed discipline as SEMDEDUP_FLAT_MAX_N, r8): the ladder's
+# machinery — deep-signature persist, signature histogram, six chained
+# width joins — is ~1.6 s of fixed stage overhead that dominated small
+# corpora (sf0.1 bench 0.69 s fixed-width -> 2.33 s ladder) while being
+# the thing that bounds bucket width at sf10. Below this corpus count a
+# single fixed LSH_FLAT_PLANES-plane bucketing is used instead; because
+# prefixes nest (low signature bits are the first planes), the flat
+# partition is EXACTLY the deep signature mod 2**LSH_FLAT_PLANES, which
+# is how the DuckDB twin replays it from the same histogram. At the cap
+# the mean fixed-width bucket holds ~2 vectors (32768 buckets), so the
+# pair join stays bounded right up to the switch. 15 planes — one
+# below LSH_ARROW_MIN_PLANES — deliberately selects the EXPRESSION
+# signature path, which inlines into whole-stage codegen (no Arrow
+# exchange): measured 1.4s vs 1.9s for the 16-plane pandas path at
+# sf0.1.
+LSH_FLAT_MAX_N = 65536
+LSH_FLAT_PLANES = 15
+
 
 def as_double_vec(col: Column) -> Column:
     """float32 array -> double array (exact widening; all downstream
@@ -288,25 +307,35 @@ def lsh_near_dup_pairs(
     min_cosine: float = 0.99,
     id_col: str = "vec_id",
     num_planes: int | None = None,
+    flat_max_n: int = LSH_FLAT_MAX_N,
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket by hyperplane signature,
     score only intra-bucket pairs (the 100 TB-safe plan: a keyed
     self-join, never a cross product).
 
-    ``num_planes=None`` (default) uses the adaptive prefix refinement
-    (``refined_lsh_buckets``): dense signature regions split deeper
-    along LSH_REFINE_LADDER until buckets hold at most LSH_LEAF_CAP
-    vectors, so the intra-bucket quadratic is bounded regardless of
-    corpus size OR directional skew. Identical exact copies share the
-    full signature, hence always one leaf, at any depth; recall for
-    NON-identical pairs at the threshold decays as their region
-    refines (cos 0.99 collides per-plane with p ~ 0.955), so a
-    recall-critical deployment should OR several independent signature
-    bands (the MinHash-band construction in operators/dedup.py) on top.
-    An explicit ``num_planes`` keeps the fixed-width single-level
-    bucketing."""
+    ``num_planes=None`` (default) is corpus-count-keyed (r8, mirroring
+    semantic_dedup's crossover): up to ``flat_max_n`` vectors a single
+    fixed ``LSH_FLAT_PLANES``-plane bucketing is used — one signature
+    pass, no ladder machinery, the fast shape for small corpora — and
+    beyond it the adaptive prefix refinement (``refined_lsh_buckets``):
+    dense signature regions split deeper along LSH_REFINE_LADDER until
+    buckets hold at most LSH_LEAF_CAP vectors, so the intra-bucket
+    quadratic is bounded regardless of corpus size OR directional
+    skew. The count probe is one O(n) pass; the DuckDB oracle twin
+    derives the SAME count and gates each replayed branch to emptiness
+    when untaken, so the engines can never diverge. Identical exact
+    copies share the full signature, hence always one bucket, under
+    either branch; recall for NON-identical pairs at the threshold
+    decays as regions refine (cos 0.99 collides per-plane with
+    p ~ 0.955), so a recall-critical deployment should OR several
+    independent signature bands (the MinHash-band construction in
+    operators/dedup.py) on top. An explicit ``num_planes`` keeps the
+    fixed-width single-level bucketing unconditionally."""
     if num_planes is None:
-        b = refined_lsh_buckets(df, id_col)
+        if df.count() <= flat_max_n:
+            b = lsh_buckets(df, id_col, LSH_FLAT_PLANES)
+        else:
+            b = refined_lsh_buckets(df, id_col)
     else:
         b = lsh_buckets(df, id_col, num_planes)
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))

@@ -114,11 +114,19 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_oracle() -> str:
-    """Twin of the adaptive prefix refinement (refined_lsh_buckets):
-    one deep signature, widths per ladder prefix computed from the
-    signature histogram, each signature mapped to its shortest
-    at-most-LSH_LEAF_CAP prefix bucket (level-tagged ids)."""
+    """Twin of the count-keyed near-dup bucketing (r8): derives the
+    corpus count and gates the two branch mappings to exclusivity —
+    below LSH_FLAT_MAX_N the bucket is the deep signature mod
+    2**LSH_FLAT_PLANES (prefixes nest, so this partitions identically
+    to Spark's single fixed 16-plane pass); above it the adaptive
+    prefix refinement replays exactly as before: widths per ladder
+    prefix from the signature histogram, each signature mapped to its
+    shortest at-most-LSH_LEAF_CAP prefix bucket (level-tagged ids).
+    Only the final (a, b, cos_sim) pair set is compared, so the
+    branches' different bucket-id domains are irrelevant."""
     from clearcare_data_pipeline_spark.operators.similarity import (
+        LSH_FLAT_MAX_N,
+        LSH_FLAT_PLANES,
         LSH_LEAF_CAP,
         LSH_REFINE_LADDER,
     )
@@ -151,10 +159,14 @@ n AS MATERIALIZED (
   FROM (SELECT vec_id, {_DV} AS dv FROM corpus)
 ),
 sc AS MATERIALIZED (SELECT sig, count(*) AS cnt FROM n GROUP BY sig),
+corpus_n AS (SELECT count(*) AS cn FROM corpus),
 {widths},
 mp AS MATERIALIZED (
+  SELECT sc.sig, sc.sig % {2**LSH_FLAT_PLANES} AS bucket
+  FROM sc WHERE (SELECT cn FROM corpus_n) <= {LSH_FLAT_MAX_N}
+  UNION ALL
   SELECT sc.sig, CASE {cases} ELSE sc.sig * {levels} + {levels - 1} END AS bucket
-  FROM sc {wjoins}
+  FROM sc {wjoins} WHERE (SELECT cn FROM corpus_n) > {LSH_FLAT_MAX_N}
 ),
 nb AS MATERIALIZED (
   SELECT n.vec_id, n.dv, n.nrm, mp.bucket FROM n JOIN mp USING (sig)

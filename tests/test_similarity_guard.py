@@ -85,6 +85,37 @@ def test_near_dup_pairs_finds_planted_copies(spark):
         assert (i, i + 1000) in pairs
 
 
+def test_near_dup_crossover_flat_equals_fixed_width(spark):
+    """r8 count-keyed crossover: below LSH_FLAT_MAX_N the default path
+    IS the fixed LSH_FLAT_PLANES-plane bucketing — identical pair set
+    to an explicit num_planes run, by construction."""
+    rows = [(i, [float(i % 9) - 4.0, float((i * 7) % 13), 2.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    copies = df.withColumn("vec_id", df.vec_id + 5000)
+    corpus = df.unionByName(copies)
+    auto = {(r.a, r.b, r.cos_sim)
+            for r in similarity.lsh_near_dup_pairs(corpus, min_cosine=0.99).collect()}
+    fixed = {(r.a, r.b, r.cos_sim)
+             for r in similarity.lsh_near_dup_pairs(
+                 corpus, min_cosine=0.99,
+                 num_planes=similarity.LSH_FLAT_PLANES).collect()}
+    assert auto == fixed and auto
+
+
+def test_near_dup_crossover_ladder_branch_still_finds_copies(spark):
+    """Forcing the ladder branch (flat_max_n=0) on the same corpus
+    must still surface every planted identical pair — identical
+    vectors share the full signature, hence one leaf, at any depth."""
+    rows = [(i, [float(i % 9) - 4.0, float((i * 7) % 13), 2.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    copies = df.withColumn("vec_id", df.vec_id + 5000)
+    out = similarity.lsh_near_dup_pairs(
+        df.unionByName(copies), min_cosine=0.999999, flat_max_n=0)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    for i in range(60):
+        assert (i, i + 5000) in pairs
+
+
 def test_expr_and_pandas_signatures_agree_off_dimension(spark):
     """ADVICE r7 #1/#4: for vectors whose length differs from PLANE_DIM
     the expression path used to NULL out every dot (zip_with padding)
