@@ -316,6 +316,14 @@ def blocked_similarity_join(
     SALT_MAX. Uniform inputs probe to s=1 and pay no replication.
     Pass ``stats`` to observe ``{"n_salt": <chosen>}``.
     """
+    # ADVICE r8 #4: only the exact string 'auto' is meaningful — any
+    # other str (e.g. a config-sourced '8') would fall through to the
+    # `n_salt > 1` comparison and raise an opaque TypeError deep in
+    # the operator instead of a clear argument error here.
+    if isinstance(n_salt, str) and n_salt != "auto":
+        raise ValueError(
+            f"n_salt must be a positive int or the string 'auto', got {n_salt!r}"
+        )
     n_part = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bkeys = [f"_b_{c}" for c in block_cols]
     lt = left.select(

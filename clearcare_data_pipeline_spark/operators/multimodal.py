@@ -395,7 +395,11 @@ _Y4M_MAGIC = b"YUV4MPEG2 "
 
 def _y4m_frame_size(width: int, height: int, colorspace: str) -> int | None:
     if colorspace.startswith("420"):
-        return width * height + 2 * ((width // 2) * (height // 2))
+        # ceil-sized chroma planes (ADVICE r8 #5): real 4:2:0 y4m
+        # streams with odd width/height carry ceil((w)/2) x ceil(h/2)
+        # U/V planes — floor division mis-sliced every frame after the
+        # first on odd-dimension files
+        return width * height + 2 * (((width + 1) // 2) * ((height + 1) // 2))
     if colorspace == "mono":
         return width * height
     return None  # 422/444/alpha variants: not needed here

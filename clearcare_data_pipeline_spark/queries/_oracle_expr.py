@@ -243,31 +243,55 @@ def materialize_ctes(sql: str) -> str:
     unreachable — it follows the main SELECT, where the walk has
     already stopped — including the multi-window second entry the old
     comma anchor could corrupt. Reference counting is
-    case-INSENSITIVE, matching SQL identifier semantics."""
+    case-INSENSITIVE, matching SQL identifier semantics.
+
+    Opaque spans cover single-quoted literals, double-quoted
+    identifiers, and ``--`` line comments (ADVICE r8 #1: the old
+    depth counter only knew single quotes, so an unbalanced paren
+    inside a quoted identifier or a comment derailed the walk and
+    every later CTE was silently left un-materialized — restoring
+    exactly the sf10 re-execution/spill failure this function
+    prevents). ``AS(`` without whitespace is accepted, and a walk
+    that terminates on text that is neither a CTE opener nor a main
+    statement warns loudly instead of degrading in silence."""
     import re
+    import warnings
 
     n = len(sql)
 
-    def skip_literal(pos: int) -> int:
+    def skip_quoted(pos: int, q: str) -> int:
         # pos at the opening quote; returns index past the closing one
+        # (doubled-quote escape handled for both ' and ")
         pos += 1
         while pos < n:
-            if sql[pos] == "'":
-                if pos + 1 < n and sql[pos + 1] == "'":  # '' escape
+            if sql[pos] == q:
+                if pos + 1 < n and sql[pos + 1] == q:
                     pos += 2
                     continue
                 return pos + 1
             pos += 1
         return pos
 
+    def opaque_end(pos: int) -> int:
+        # end of the literal / quoted identifier / '--' comment
+        # starting at pos, or -1 if pos starts none of them
+        c = sql[pos]
+        if c == "'" or c == '"':
+            return skip_quoted(pos, c)
+        if c == "-" and sql[pos : pos + 2] == "--":
+            e = sql.find("\n", pos)
+            return n if e < 0 else e + 1
+        return -1
+
     def skip_body(pos: int) -> int:
         # pos at '('; returns index past the matching ')'
         depth = 0
         while pos < n:
-            c = sql[pos]
-            if c == "'":
-                pos = skip_literal(pos)
+            e = opaque_end(pos)
+            if e >= 0:
+                pos = e
                 continue
+            c = sql[pos]
             if c == "(":
                 depth += 1
             elif c == ")":
@@ -277,39 +301,73 @@ def materialize_ctes(sql: str) -> str:
             pos += 1
         return pos
 
-    # string-literal spans, so WITH inside a literal never starts a walk
-    lit_spans = []
+    def skip_ws(pos: int) -> int:
+        # whitespace and line comments between CTE-list tokens
+        while pos < n:
+            if sql[pos].isspace():
+                pos += 1
+                continue
+            if sql[pos : pos + 2] == "--":
+                pos = opaque_end(pos)
+                continue
+            break
+        return pos
+
+    # opaque spans, so a WITH inside any of them never starts a walk
+    spans = []
     i = 0
     while i < n:
-        if sql[i] == "'":
-            j = skip_literal(i)
-            lit_spans.append((i, j))
+        j = opaque_end(i)
+        if j >= 0:
+            spans.append((i, j))
             i = j
         else:
             i += 1
 
-    def in_literal(pos: int) -> bool:
-        return any(a <= pos < b for a, b in lit_spans)
+    def in_opaque(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
 
     name_as = re.compile(
-        r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?:MATERIALIZED\s+)?(\()",
+        r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?(\()",
         re.IGNORECASE,
+    )
+    main_stmt = re.compile(
+        r"(?:SELECT|FROM|INSERT|UPDATE|DELETE|VALUES|TABLE|\()", re.IGNORECASE
     )
     openers: list[tuple[int, str]] = []  # (index of '(', cte name)
     for m in re.finditer(r"\bWITH\b(?:\s+RECURSIVE\b)?", sql, re.IGNORECASE):
-        if in_literal(m.start()):
+        if in_opaque(m.start()):
             continue
         pos = m.end()
         while True:
+            pos = skip_ws(pos)
             nm = name_as.match(sql, pos)
             if not nm:
-                break  # CTE list over — main SELECT (or bad parse) next
-            openers.append((nm.start(2), nm.group(1)))
-            pos = skip_body(nm.start(2))
-            sep = re.match(r"\s*,", sql[pos:])
-            if not sep:
+                # CTE list over — the main statement should be next;
+                # anything else means the walk derailed, and silence
+                # here would under-materialize every later CTE
+                if not main_stmt.match(sql, pos):
+                    warnings.warn(
+                        "materialize_ctes: CTE-list walk terminated on "
+                        f"unparseable text at offset {pos}: "
+                        f"{sql[pos : pos + 60]!r} — later CTEs in this "
+                        "WITH are left un-materialized",
+                        stacklevel=2,
+                    )
                 break
-            pos += sep.end()
+            openers.append((nm.start(2), nm.group(1)))
+            pos = skip_ws(skip_body(nm.start(2)))
+            if not sql.startswith(",", pos):
+                if not main_stmt.match(sql, pos):
+                    warnings.warn(
+                        "materialize_ctes: CTE-list walk terminated on "
+                        f"unparseable text at offset {pos}: "
+                        f"{sql[pos : pos + 60]!r} — later CTEs in this "
+                        "WITH are left un-materialized",
+                        stacklevel=2,
+                    )
+                break
+            pos += 1
 
     # a WITH nested inside a CTE body yields openers out of document
     # order relative to the outer list — the splice needs them sorted
@@ -326,6 +384,9 @@ def materialize_ctes(sql: str) -> str:
             r"MATERIALIZED\s*$", sql[prev:paren_pos], re.IGNORECASE
         ):
             out.append(sql[prev:paren_pos])
+            # leading space only if the opener was 'AS(' with no gap
+            if paren_pos > 0 and not sql[paren_pos - 1].isspace():
+                out.append(" ")
             out.append("MATERIALIZED (")
             prev = paren_pos + 1
     out.append(sql[prev:])

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from clearcare_data_pipeline_spark.operators.similarity import (
     NUM_PLANES,
+    PLANE_DIM,
     _plane,
     cosine_topk,
     lsh_buckets,
@@ -38,6 +39,22 @@ _MIN_COS = 0.99
 
 def _dot(a: str, b: str) -> str:
     return f"list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+
+
+def _dot_prefix(a: str, b: str, maxlen: int) -> str:
+    """Dot over at most the first ``maxlen`` dims of ``a`` (ADVICE r8
+    #2): dotting a vector LONGER than a ``maxlen``-long plane literal
+    with the plain ``_dot`` ranges over len(a), so ``b[i]`` for
+    i > maxlen is NULL, the whole sum collapses to NULL, and every
+    sign test falls to the ELSE branch — DuckDB would bucket long
+    vectors to 0 while the Spark side (which slices both operands to
+    min(len, PLANE_DIM)) computes real prefix bits. The clamp restores
+    the prefix-dot semantics all three evaluators share for any
+    dimension."""
+    return (
+        f"list_reduce(list_transform(range(1, least(len({a}), {maxlen}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
 
 
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -85,12 +102,16 @@ def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucket_sql(dv: str = "dv", n_planes: int = NUM_PLANES) -> str:
     """``n_planes``-wide hyperplane-signature bucket as SQL (bit j set
-    iff dot(v, plane_j) >= 0, same plane family as the Spark side)."""
+    iff dot(v, plane_j) >= 0, same plane family as the Spark side).
+    The dot is clamped to the PLANE_DIM prefix so >64-dim vectors hash
+    like the Spark/pandas paths instead of NULLing to bucket 0 (see
+    ``_dot_prefix``)."""
     terms = []
     for j in range(n_planes):
         plane = "[" + ", ".join(str(int(w)) for w in _plane(j)) + "]"
         terms.append(
-            f"CASE WHEN {_dot(dv, plane)} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+            f"CASE WHEN {_dot_prefix(dv, plane, PLANE_DIM)} >= 0 "
+            f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
         )
     return " + ".join(terms)
 
@@ -118,7 +139,9 @@ def _near_dup_oracle() -> str:
     corpus count and gates the two branch mappings to exclusivity —
     below LSH_FLAT_MAX_N the bucket is the deep signature mod
     2**LSH_FLAT_PLANES (prefixes nest, so this partitions identically
-    to Spark's single fixed 16-plane pass); above it the adaptive
+    to Spark's single fixed LSH_FLAT_PLANES-plane (15) pass — one
+    below LSH_ARROW_MIN_PLANES, deliberately, so the flat branch stays
+    on the codegen expression path); above it the adaptive
     prefix refinement replays exactly as before: widths per ladder
     prefix from the signature histogram, each signature mapped to its
     shortest at-most-LSH_LEAF_CAP prefix bucket (level-tagged ids).

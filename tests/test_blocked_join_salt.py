@@ -79,3 +79,13 @@ def test_auto_salt_caps_and_handles_empty(spark):
         empty, empty, ["blk"], "txt", n_salt="auto", stats=stats2
     )
     assert out.count() == 0 and stats2["n_salt"] == 1
+
+
+def test_non_auto_string_n_salt_rejected(spark):
+    """ADVICE r8 #4: any str other than 'auto' must raise a clear
+    ValueError, not an opaque TypeError deep in the operator."""
+    import pytest
+
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="n_salt"):
+        blocked_similarity_join(df, df, ["blk"], "txt", n_salt="8")

@@ -338,3 +338,22 @@ def test_sample_frames_real_y4m(spark):
     ref = decode_y4m(y4m)[0]
     assert [bytes(r.frame) for r in v1] == [ref[0], ref[10], ref[20]]
     assert (v1[0].width, v1[0].height, v1[0].n_frames) == (16, 8, 25)
+
+
+def test_y4m_odd_dimensions_ceil_chroma():
+    """ADVICE r8 #5: 4:2:0 with odd width/height carries ceil-sized
+    chroma planes — floor sizing mis-sliced every frame after the
+    first on odd-dimension files."""
+    from clearcare_data_pipeline_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    w, h = 5, 3
+    size = w * h + 2 * (3 * 2)  # ceil(5/2)=3, ceil(3/2)=2
+    f0 = bytes(range(size))
+    f1 = bytes((255 - b) % 256 for b in range(size))
+    blob = encode_y4m([f0, f1], w, h)
+    frames, gw, gh, cs = decode_y4m(blob)
+    assert (gw, gh, len(frames)) == (w, h, 2)
+    assert frames == [f0, f1]  # frame-true, no mis-slice drift

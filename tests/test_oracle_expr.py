@@ -96,3 +96,53 @@ def test_regex_parens_inside_cte_body_literals():
     out = materialize_ctes(sql)
     assert "a AS MATERIALIZED (" in out
     assert "b AS MATERIALIZED" not in out
+
+
+def test_as_without_space_accepted():
+    """ADVICE r8 #1: the old regex required whitespace between AS and
+    '(' — 'AS(' silently ended the walk."""
+    sql = "WITH a AS(SELECT 1) SELECT * FROM a JOIN a a2 ON true"
+    out = materialize_ctes(sql)
+    assert "a AS MATERIALIZED (SELECT 1)" in out
+
+
+def test_comment_with_paren_inside_body_does_not_derail():
+    """A '--' comment carrying an unbalanced paren inside a CTE body
+    used to corrupt the depth counter and skip every later CTE."""
+    sql = (
+        "WITH a AS (SELECT 1 -- stray ( paren\n),\n"
+        "b AS (SELECT * FROM a)\n"
+        "SELECT * FROM a JOIN b ON true"
+    )
+    out = materialize_ctes(sql)
+    assert "a AS MATERIALIZED (" in out
+
+
+def test_double_quoted_identifier_with_paren_does_not_derail():
+    sql = (
+        'WITH a AS (SELECT 1 AS "odd ( name"),\n'
+        "b AS (SELECT * FROM a)\n"
+        "SELECT * FROM a JOIN b ON true"
+    )
+    out = materialize_ctes(sql)
+    assert "a AS MATERIALIZED (" in out
+    assert '"odd ( name"' in out
+
+
+def test_comments_between_cte_entries():
+    sql = (
+        "WITH -- preamble\n a AS (SELECT 1), -- note\n"
+        "b AS (SELECT * FROM a) SELECT * FROM a JOIN b ON true"
+    )
+    out = materialize_ctes(sql)
+    assert "a AS MATERIALIZED (" in out
+
+
+def test_unparseable_cte_list_entry_warns():
+    """Silence on a derailed walk restores the sf10 spill failure this
+    function exists to prevent — it must be loud."""
+    import pytest
+
+    sql = "WITH a AS (SELECT 1), ORDER BY x"
+    with pytest.warns(UserWarning, match="unparseable"):
+        materialize_ctes(sql)

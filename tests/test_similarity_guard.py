@@ -161,3 +161,38 @@ def test_pandas_signature_truncates_to_plane_dim(spark):
         ).collect()
     }
     assert out[1] == out[2]
+
+
+def test_bucket_oracle_agrees_beyond_plane_dim(spark):
+    """ADVICE r8 #2: for vectors LONGER than PLANE_DIM the DuckDB twin
+    used to NULL every plane dot (plane[i] is NULL past 64) and bucket
+    everything to 0 while Spark computed real prefix bits. The clamped
+    _dot_prefix must agree with lsh_bucket_expr for short, exact, and
+    long vectors alike."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from clearcare_data_pipeline_spark.operators.similarity import (
+        PLANE_DIM,
+        lsh_bucket_expr,
+    )
+    from clearcare_data_pipeline_spark.queries.similarity import _bucket_sql
+
+    vecs = [
+        [float((i * 7) % 5 - 2) for i in range(3)],          # short
+        [float((i * 11) % 9 - 4) for i in range(PLANE_DIM)],  # exact
+        [float((i * 13) % 7 - 3) for i in range(PLANE_DIM + 8)],  # long
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["i", "dvec"])
+    got_spark = {
+        r["i"]: r["b"]
+        for r in df.select("i", lsh_bucket_expr(F.col("dvec")).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {}
+    for i, v in enumerate(vecs):
+        lit = "[" + ", ".join(repr(x) for x in v) + "]"
+        sql = f"SELECT {_bucket_sql('dv')} AS b FROM (SELECT {lit} AS dv)"
+        got_duck[i] = con.execute(sql).fetchone()[0]
+    assert got_spark == got_duck
+    assert got_duck[2] != 0  # long vectors no longer collapse to bucket 0
