@@ -198,6 +198,10 @@ SEMDEDUP_FLAT_MAX_N = 64 * HIER_BRANCH * SEMDEDUP_TARGET_WIDTH  # 65536
 # (branch x dim) float64 rows; 10M of them is ~5 GB of raw doubles
 # plus Python object overhead — far past a sane driver heap.
 HIER_DRIVER_CENTROID_CAP = 10_000_000
+# splitting-cluster sets under this many rows broadcast-join onto the
+# work set (one bigint per cluster at the driver during broadcast);
+# larger sets use a plain shuffle join instead
+HIER_SPLIT_BROADCAST_CAP = 4_000_000
 
 
 def hierarchical_assign(
@@ -249,6 +253,16 @@ def hierarchical_assign(
     ``stats["join_levels"]`` reports how many levels used the join
     exchange.
 
+    The split set itself is derived DataFrame-side (VERDICT r8 #2/#7):
+    each level filters the width histogram to ``count > target_width``
+    and joins that frame back onto the work set — broadcast under
+    HIER_SPLIT_BROADCAST_CAP rows, shuffle join above — so the only
+    per-level driver round-trip is the scalar splitting-cluster count
+    (which also drives the ``auto`` trigger). The old implementation
+    collected one row per LIVE cluster every level and rebuilt the
+    split set via createDataFrame — ~30M rows (~0.5-1 GB) through the
+    driver at 1B vectors / width 32.
+
     Early stop per level (same argument as kmeans_fit): the Lloyd loop
     breaks when an update leaves every centroid of every splitting
     cluster EXACTLY unchanged, which cannot change the result vs the
@@ -273,9 +287,25 @@ def hierarchical_assign(
         levels_run = 0
         join_levels = 0
         for _level in range(max_levels):
-            widths = cur.groupBy("cluster").count().collect()
-            split_ids = sorted(r["cluster"] for r in widths if r["count"] > target_width)
-            if not split_ids:
+            # Distributed split-set derivation (VERDICT r8 #2): the set
+            # of clusters wider than target_width stays a DataFrame —
+            # the old per-level `.collect()` of one row per live
+            # cluster was ~30M rows (~0.5-1 GB) through the driver at
+            # 1B vectors / width 32, exactly the state class the join
+            # exchange exists to avoid. Only a SCALAR (the splitting-
+            # cluster count) ever reaches the driver; it also drives
+            # the auto exchange trigger (r8 #7), so `auto` works
+            # without collecting ids. The driver exchange still needs
+            # the id list, but only runs when n_split*branch is under
+            # HIER_DRIVER_CENTROID_CAP — a bounded collect.
+            split_df = (
+                cur.groupBy("cluster")
+                .count()
+                .where(F.col("count") > target_width)
+                .select("cluster")
+            )
+            n_split = split_df.count()
+            if n_split == 0:
                 # The fixed-depth oracle replay re-encodes ids by `enc`
                 # at EVERY level, including no-op ones — apply the
                 # remaining re-encodings here so both engines emit the
@@ -288,25 +318,30 @@ def hierarchical_assign(
                 )
                 break
             levels_run += 1
-            spark = df.sparkSession
-            split_df = F.broadcast(
-                spark.createDataFrame([(c,) for c in split_ids], "cluster: bigint")
+            use_join = exchange == "join" or (
+                exchange == "auto"
+                and n_split * branch > HIER_DRIVER_CENTROID_CAP
+            )
+            # broadcast the split set below a cap (its driver footprint
+            # is one bigint per splitting cluster), shuffle-join above
+            # it so no level ever materializes data-sized state
+            sj = (
+                split_df
+                if n_split > HIER_SPLIT_BROADCAST_CAP
+                else F.broadcast(split_df)
             )
             work = (
                 base.join(cur, "_hid")
-                .join(split_df, "cluster")
+                .join(sj, "cluster")
                 .select("_hid", "cluster", "dvec")
                 .persist()
-            )
-            use_join = exchange == "join" or (
-                exchange == "auto"
-                and len(split_ids) * branch > HIER_DRIVER_CENTROID_CAP
             )
             try:
                 if use_join:
                     join_levels += 1
                     final_sub = _split_level_join(work, branch, iters)
                 else:
+                    split_ids = sorted(r["cluster"] for r in split_df.collect())
                     final_sub = _split_level_driver(work, split_ids, branch, iters)
                 cur = (
                     cur.join(final_sub, "_hid", "left")

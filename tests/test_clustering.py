@@ -213,3 +213,51 @@ def test_semantic_dedup_crossover_paths_flag_planted_copies(spark):
             if vid >= 500000:
                 assert r["is_dup"], f"copy {vid} not flagged (flat_max_n={forced_max})"
                 assert r["cluster"] == rows[vid - 500000]["cluster"]
+
+
+def test_hierarchical_auto_trigger_without_collect(spark, monkeypatch):
+    """VERDICT r8 #7: the auto exchange trigger derives from the
+    DataFrame-side splitting-cluster count — forcing the cap to 0 must
+    route every splitting level through the join exchange with output
+    identical to the driver exchange."""
+    from clearcare_data_pipeline_spark.operators import clustering
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ref = clustering.hierarchical_assign(
+        vecs, target_width=8, branch=4, iters=2, max_levels=3, exchange="driver"
+    )
+    monkeypatch.setattr(clustering, "HIER_DRIVER_CENTROID_CAP", 0)
+    stats = {}
+    out = clustering.hierarchical_assign(
+        vecs, target_width=8, branch=4, iters=2, max_levels=3,
+        stats=stats, exchange="auto",
+    )
+    assert stats["join_levels"] == stats["levels"] > 0
+    assert {(r.vec_id, r.cluster) for r in out.collect()} == {
+        (r.vec_id, r.cluster) for r in ref.collect()
+    }
+
+
+def test_hierarchical_shuffle_join_split_set_bit_identical(spark, monkeypatch):
+    """VERDICT r8 #2: above HIER_SPLIT_BROADCAST_CAP the split set
+    joins by shuffle instead of broadcast — forced via cap 0, the
+    assignments must not change."""
+    from clearcare_data_pipeline_spark.operators import clustering
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ref = clustering.hierarchical_assign(
+        vecs, target_width=8, branch=4, iters=2, max_levels=3
+    )
+    monkeypatch.setattr(clustering, "HIER_SPLIT_BROADCAST_CAP", 0)
+    out = clustering.hierarchical_assign(
+        vecs, target_width=8, branch=4, iters=2, max_levels=3
+    )
+    assert {(r.vec_id, r.cluster) for r in out.collect()} == {
+        (r.vec_id, r.cluster) for r in ref.collect()
+    }
