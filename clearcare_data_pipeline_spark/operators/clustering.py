@@ -622,7 +622,13 @@ def semantic_dedup(
     )
 
     if k is None:
-        n = df.count()
+        # O(cap) branch probe (VERDICT r8 #4a): LIMIT flat_max_n+1
+        # short-circuits the count after the cap instead of scanning
+        # the whole corpus (the dedicated full-count job was the
+        # measured +8% at sf10). Below the cap the limited count IS
+        # the exact corpus count, which is all derive_k needs; above
+        # it the hierarchy derives its own widths and never needs n.
+        n = df.limit(flat_max_n + 1).count()
         if n <= flat_max_n:
             _cents, assigned = kmeans_fit(
                 df,

@@ -177,18 +177,39 @@ def lsh_bucket_expr(dvec: Column, num_planes: int = NUM_PLANES) -> Column:
     join). The slice restores the plane-PREFIX semantics the pandas
     path (``pm[:, :x.shape[1]]``) and the DuckDB ``_bucket_sql`` twin
     always had, so the three evaluators agree for any dimension."""
-    n = F.least(F.size(dvec), F.lit(PLANE_DIM))
-    v = F.slice(dvec, 1, n)
     planes = F.array(
         *[F.array(*[F.lit(w) for w in _plane(j)]) for j in range(num_planes)]
     )
+    return lsh_bucket_from_mat(dvec, planes)
+
+
+def lsh_bucket_from_mat(dvec: Column, pmat: Column) -> Column:
+    """The signature fold over a plane matrix COLUMN — the shape
+    ``lsh_buckets`` actually executes (r9): the plane matrix rides a
+    one-row broadcast table (``plane_matrix_df``, same rationale as
+    ``centroid_matrix_df``) instead of a ~num_planes x 64 literal
+    expression tree, whose per-query Python construction + analysis
+    cost was ~0.6 s of the near-dup operator's small-scale fixed
+    overhead. Values are bit-identical either way — the runtime fold
+    is the same; only where the plane bytes live changes."""
+    n = F.least(F.size(dvec), F.lit(PLANE_DIM))
+    v = F.slice(dvec, 1, n)
     bits = F.transform(
-        planes,
+        pmat,
         lambda pv, j: F.when(
             dot_expr(v, F.slice(pv, 1, n)) >= 0, F.pow(F.lit(2.0), j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint")),
     )
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def plane_matrix_df(spark, num_planes: int) -> DataFrame:
+    """The hyperplane family as a one-row broadcastable table (one
+    ``pmat array<array<double>>`` cell) — joins map-side as a
+    single-row BroadcastNestedLoopJoin, exactly like the IVF
+    codebook."""
+    matrix = [_plane(j) for j in range(num_planes)]
+    return spark.createDataFrame([(matrix,)], "pmat: array<array<double>>")
 
 
 def _lsh_signature_pandas(num_planes: int):
@@ -255,8 +276,11 @@ def lsh_buckets(
     d = with_norm(df, "embedding")
     if num_planes >= LSH_ARROW_MIN_PLANES:
         bucket = _lsh_signature_pandas(num_planes)(F.col("dvec"))
-    else:
-        bucket = lsh_bucket_expr(F.col("dvec"), num_planes)
+        return d.select(F.col(id_col), bucket.alias("bucket"), "dvec", "norm")
+    # plane matrix as broadcast data, not plan literals (see
+    # lsh_bucket_from_mat)
+    d = d.crossJoin(F.broadcast(plane_matrix_df(df.sparkSession, num_planes)))
+    bucket = lsh_bucket_from_mat(F.col("dvec"), F.col("pmat"))
     return d.select(F.col(id_col), bucket.alias("bucket"), "dvec", "norm")
 
 
@@ -331,15 +355,29 @@ def lsh_near_dup_pairs(
     independent signature bands (the MinHash-band construction in
     operators/dedup.py) on top. An explicit ``num_planes`` keeps the
     fixed-width single-level bucketing unconditionally."""
+    flat = False
     if num_planes is None:
-        if df.count() <= flat_max_n:
+        # O(cap) branch probe (VERDICT r8 #4a): the decision only
+        # needs "at most flat_max_n rows or not", so a LIMIT cap+1
+        # count short-circuits after flat_max_n+1 rows instead of
+        # scanning the whole corpus (the dedicated full-count job was
+        # the measured +8% at sf10) — the same bounded-probe
+        # discipline as cosine_topk's broadcast guard.
+        if df.limit(flat_max_n + 1).count() <= flat_max_n:
             b = lsh_buckets(df, id_col, LSH_FLAT_PLANES)
+            flat = True
         else:
             b = refined_lsh_buckets(df, id_col)
     else:
         b = lsh_buckets(df, id_col, num_planes)
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
     right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
+    if flat:
+        # the flat branch's corpus is <= flat_max_n rows by the probe
+        # (~35 MB of (id, dvec, norm) at the 65,536 cap), so the
+        # bucket self-join broadcasts its right side: zero shuffles,
+        # one stage, instead of two exchanges over a tiny input
+        right = F.broadcast(right)
     return (
         left.join(right, "bucket")
         .where(F.col("a") < F.col("b"))

@@ -196,3 +196,4 @@ def test_bucket_oracle_agrees_beyond_plane_dim(spark):
         got_duck[i] = con.execute(sql).fetchone()[0]
     assert got_spark == got_duck
     assert got_duck[2] != 0  # long vectors no longer collapse to bucket 0
+
