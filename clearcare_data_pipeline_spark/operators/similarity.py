@@ -332,10 +332,18 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     num_planes: int | None = None,
     flat_max_n: int = LSH_FLAT_MAX_N,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket by hyperplane signature,
     score only intra-bucket pairs (the 100 TB-safe plan: a keyed
     self-join, never a cross product).
+
+    ``n_bands > 1`` (VERDICT r8 #6) applies the OR construction via
+    ``lsh_banded_pairs``: a pair is a candidate if it collides in ANY
+    of ``n_bands`` independent plane families, lifting recall for
+    non-identical near-dups from the single-band ~p^15 to
+    1-(1-p^15)^bands at ``n_bands``x the bucketing cost. The measured
+    recall gate lives in queries/similarity.py (emb_lsh_recall).
 
     ``num_planes=None`` (default) is corpus-count-keyed (r8, mirroring
     semantic_dedup's crossover): up to ``flat_max_n`` vectors a single
@@ -355,6 +363,10 @@ def lsh_near_dup_pairs(
     independent signature bands (the MinHash-band construction in
     operators/dedup.py) on top. An explicit ``num_planes`` keeps the
     fixed-width single-level bucketing unconditionally."""
+    if n_bands > 1:
+        return lsh_banded_pairs(
+            df, min_cosine=min_cosine, id_col=id_col, n_bands=n_bands
+        )
     flat = False
     if num_planes is None:
         # O(cap) branch probe (VERDICT r8 #4a): the decision only
@@ -384,6 +396,87 @@ def lsh_near_dup_pairs(
         .withColumn("cos_sim", F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .where(F.col("cos_sim") >= min_cosine)
         .select("a", "b", "cos_sim")
+    )
+
+
+def band_plane_matrices(n_bands: int, planes_per_band: int) -> list[list[list[float]]]:
+    """``n_bands`` independent plane families from the shared
+    deterministic generator: band k uses planes
+    k*planes_per_band .. (k+1)*planes_per_band-1 (band 0 is exactly
+    the flat single-band family, so n_bands=1 reproduces the flat
+    partition)."""
+    return [
+        [_plane(k * planes_per_band + t) for t in range(planes_per_band)]
+        for k in range(n_bands)
+    ]
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.99,
+    id_col: str = "vec_id",
+    n_bands: int = 4,
+    planes_per_band: int = LSH_FLAT_PLANES,
+) -> DataFrame:
+    """OR-amplified near-dup pairs (VERDICT r8 #6): each vector gets
+    ``n_bands`` independent hyperplane signatures (one per plane
+    family), a pair is a candidate if it collides in ANY band, and
+    candidates are scored once (DISTINCT after the threshold — cos is
+    a pure function of the pair, so duplicates across bands are
+    identical rows).
+
+    Recall math: a pair at angle theta collides per-plane with
+    p = 1 - theta/pi, per-band with p^planes, and survives the OR with
+    1-(1-p^planes)^bands — e.g. cos 0.995 (p ~ 0.97, band ~ 0.63)
+    reaches ~0.998 at 6 bands where one band stops at ~0.63. The
+    measured version of this claim is the emb_lsh_recall query.
+
+    Scale shape: all band signatures are computed in ONE pass over a
+    one-row broadcast matrix table (no shuffle), the pair join is
+    keyed on (band, bucket) — ``n_bands``x the rows of the flat join,
+    never a cross product — and the final DISTINCT is one shuffle of
+    the (small) scored-pair set. Bucket width within a band is
+    unbounded like any fixed-plane scheme, so corpus-scale deployments
+    should combine bands with the prefix ladder's leaf caps; this
+    operator is the recall lever, not the skew lever."""
+    spark = df.sparkSession
+    mats = band_plane_matrices(n_bands, planes_per_band)
+    pm = spark.createDataFrame([(mats,)], "pmats: array<array<array<double>>>")
+    d = with_norm(df, "embedding").crossJoin(F.broadcast(pm))
+    bands = F.transform(
+        F.col("pmats"),
+        lambda mat, k: F.struct(
+            k.cast("int").alias("band"),
+            lsh_bucket_from_mat(F.col("dvec"), mat).alias("bucket"),
+        ),
+    )
+    e = d.select(
+        F.col(id_col), "dvec", "norm", F.explode(bands).alias("_bb")
+    ).select(
+        F.col(id_col),
+        "dvec",
+        "norm",
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+    )
+    left = e.select(
+        "band", "bucket", F.col(id_col).alias("a"),
+        F.col("dvec").alias("va"), F.col("norm").alias("na"),
+    )
+    right = e.select(
+        "band", "bucket", F.col(id_col).alias("b"),
+        F.col("dvec").alias("vb"), F.col("norm").alias("nb"),
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+        .select("a", "b", "cos_sim")
+        .distinct()
     )
 
 

@@ -100,15 +100,16 @@ def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(_emb(spark, sf_dir)).select("vec_id", "bucket")
 
 
-def _bucket_sql(dv: str = "dv", n_planes: int = NUM_PLANES) -> str:
+def _bucket_sql(dv: str = "dv", n_planes: int = NUM_PLANES, plane_offset: int = 0) -> str:
     """``n_planes``-wide hyperplane-signature bucket as SQL (bit j set
-    iff dot(v, plane_j) >= 0, same plane family as the Spark side).
-    The dot is clamped to the PLANE_DIM prefix so >64-dim vectors hash
-    like the Spark/pandas paths instead of NULLing to bucket 0 (see
-    ``_dot_prefix``)."""
+    iff dot(v, plane_{offset+j}) >= 0, same plane family as the Spark
+    side; a nonzero ``plane_offset`` selects a band's family for the
+    OR construction). The dot is clamped to the PLANE_DIM prefix so
+    >64-dim vectors hash like the Spark/pandas paths instead of
+    NULLing to bucket 0 (see ``_dot_prefix``)."""
     terms = []
     for j in range(n_planes):
-        plane = "[" + ", ".join(str(int(w)) for w in _plane(j)) + "]"
+        plane = "[" + ", ".join(str(int(w)) for w in _plane(plane_offset + j)) + "]"
         terms.append(
             f"CASE WHEN {_dot_prefix(dv, plane, PLANE_DIM)} >= 0 "
             f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
@@ -546,6 +547,127 @@ FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits USING (query_id)
 
 QUERIES["emb_ann_recall"] = q_emb_ann_recall
 ORACLES["emb_ann_recall"] = _ANN_RECALL_ORACLE
+
+
+# --- LSH recall@threshold vs brute-force ground truth (VERDICT r8 #6) ----
+#
+# The near-dup docstring's recall claim, made measurable like
+# emb_ann_recall: plant NOISY copies (deterministic integer-pattern
+# perturbation, cos ~ 0.995 — exact copies always collide and would
+# measure nothing), take brute-force pairs >= threshold over a FIXED
+# probe set as ground truth, and report what fraction the banded OR
+# construction finds. 6 bands of 15 planes: per-band collision at
+# cos 0.995 is ~0.63, OR-amplified to ~0.998 (the single flat band
+# alone sits near 0.63 — the lever is the point of the query).
+
+_LSH_RECALL_EPS = 0.008
+_LSH_RECALL_BANDS = 6
+
+
+def _recall_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clearcare_data_pipeline_spark.operators.similarity import as_double_vec
+
+    vecs = _emb(spark, sf_dir).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    pert = vecs.where(F.col("vec_id") % _NEAR_DUP_MOD == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(_LSH_RECALL_EPS)
+            * ((i.cast("bigint") * 7 + F.col("vec_id")) % 5 - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    return vecs.unionByName(pert)
+
+
+def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clearcare_data_pipeline_spark.operators.similarity import (
+        dot_expr,
+        lsh_banded_pairs,
+    )
+
+    corpus = _recall_corpus(spark, sf_dir)
+    found = lsh_banded_pairs(corpus, min_cosine=_MIN_COS, n_bands=_LSH_RECALL_BANDS)
+    n = with_norm(corpus, "embedding")
+    # fixed probe set (the planted noisy copies of ids < bound): the
+    # brute-force ground-truth half stays O(probes x corpus) — linear
+    # in the corpus, same discipline as emb_ann_recall's query bound
+    probes = n.where(
+        (F.col("vec_id") >= 1000000) & (F.col("vec_id") - 1000000 < _QUERY_ID_BOUND)
+    ).select(
+        F.col("vec_id").alias("pid"), F.col("dvec").alias("pv"), F.col("norm").alias("pn")
+    )
+    cand = n.select(F.col("vec_id").alias("cid"), "dvec", "norm")
+    gt = (
+        cand.join(F.broadcast(probes), F.col("cid") != F.col("pid"))
+        .where(
+            F.round(dot_expr(F.col("dvec"), F.col("pv")) / (F.col("norm") * F.col("pn")), 6)
+            >= _MIN_COS
+        )
+        .select(F.least("pid", "cid").alias("a"), F.greatest("pid", "cid").alias("b"))
+        .distinct()
+    )
+    tp = gt.join(found.select("a", "b"), ["a", "b"])
+    return (
+        gt.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from clearcare_data_pipeline_spark.operators.similarity import LSH_FLAT_PLANES
+
+    band_sigs = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, dv, nrm, {k} AS band, "
+        f"{_bucket_sql('dv', LSH_FLAT_PLANES, k * LSH_FLAT_PLANES)} AS bucket FROM n"
+        for k in range(_LSH_RECALL_BANDS)
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, dv FROM (SELECT vec_id, {_DV} AS dv FROM embeddings)
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+    list_transform(range(1, len(dv) + 1),
+      i -> dv[i] + {_LSH_RECALL_EPS} * CAST(((i - 1) * 7 + vec_id) % 5 - 2 AS DOUBLE)) AS dv
+  FROM (SELECT vec_id, {_DV} AS dv FROM embeddings) WHERE vec_id % {_NEAR_DUP_MOD} = 0
+),
+n AS MATERIALIZED (
+  SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm FROM corpus
+),
+sigs AS MATERIALIZED (
+{band_sigs}
+),
+found AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM sigs l JOIN sigs r USING (band, bucket)
+  WHERE l.vec_id < r.vec_id
+    AND round({_dot('l.dv', 'r.dv')} / (l.nrm * r.nrm), 6) >= {_MIN_COS}
+),
+probes AS (
+  SELECT * FROM n WHERE vec_id >= 1000000 AND vec_id - 1000000 < {_QUERY_ID_BOUND}
+),
+gt AS MATERIALIZED (
+  SELECT DISTINCT least(p.vec_id, c.vec_id) AS a, greatest(p.vec_id, c.vec_id) AS b
+  FROM n c, probes p
+  WHERE c.vec_id <> p.vec_id
+    AND round({_dot('c.dv', 'p.dv')} / (c.nrm * p.nrm), 6) >= {_MIN_COS}
+)
+SELECT (SELECT count(*) FROM gt) AS n_true,
+       (SELECT count(*) FROM gt JOIN found USING (a, b)) AS n_found,
+       round((SELECT count(*) FROM gt JOIN found USING (a, b))
+             / CAST((SELECT count(*) FROM gt) AS DOUBLE), 6) AS recall
+"""
+
+
+QUERIES["emb_lsh_recall"] = q_emb_lsh_recall
+ORACLES["emb_lsh_recall"] = _lsh_recall_oracle()
 
 
 # --- label separation: pairwise centroid distances -----------------------
