@@ -67,6 +67,8 @@ EXTENDED = EXTENDED_CORE + [
     "fuzzy_linkage_banded",
     # r6 addition: self-trained trigram-LM perplexity (CCNet-style)
     "doc_lm_perplexity",
+    # r9 addition (VERDICT r8 #6): banded-LSH recall vs brute force
+    "emb_lsh_recall",
     # r7 additions (VERDICT r6 #4): the text->vector->ANN composition
     "doc_hashed_tf",
     "doc_tf_cosine_topk",

@@ -131,11 +131,15 @@ _HASH_SIMPLE = {
     "date", "timestamp", "timestamp_ntz",
 }
 _HASH_FLOATY = {"float", "double"}
-# float-bearing queries whose floats are per-row (bit-identical) values
+# float-bearing queries whose floats are per-row (bit-identical) values:
+# parsed/parquet-read prices, or deterministic per-row derivations of
+# integers (part_name_linkage's levenshtein ratio) — never multi-row
+# float aggregates
 _HASH_FLOAT_OK = set(
     os.environ.get(
         "VERIFY_HASH_FLOAT_OK",
-        "charges_cleaned,charges_quarantine,merge_orders_upsert",
+        "charges_cleaned,charges_quarantine,merge_orders_upsert,"
+        "charges_rules_tagged,part_name_linkage",
     ).split(",")
 )
 _HASH_DIAG_MAX = int(os.environ.get("VERIFY_HASH_DIAG_MAX", "2000000"))
