@@ -63,9 +63,16 @@ def test_ngram_jaccard_no_cartesian(spark, queries):
 
 
 def test_emb_near_dup_no_cartesian(spark, queries):
+    # r9: the plane matrix rides a ONE-ROW broadcast table (same
+    # pattern as the IVF codebook), so each side of the bucket
+    # self-join attaches one single-row BroadcastNestedLoopJoin (the
+    # formatted plan prints each twice: tree + detail). The pair join
+    # itself must stay a keyed hash join and nothing may be a
+    # cartesian product.
     plan = _plan(spark, queries, "emb_near_dup_pairs")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_charges_cleaned_scan_is_columnar_parquet(spark, queries):
