@@ -357,3 +357,136 @@ def test_y4m_odd_dimensions_ceil_chroma():
     frames, gw, gh, cs = decode_y4m(blob)
     assert (gw, gh, len(frames)) == (w, h, 2)
     assert frames == [f0, f1]  # frame-true, no mis-slice drift
+
+
+def _forward_filter_png(px, filters):
+    """Build a PNG whose rows are FORWARD-filtered with the given
+    per-row filter types (the inverse of what decode_png undoes) —
+    what a real encoder like libpng emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators import multimodal as mm
+
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y, f in enumerate(filters):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw.append(f)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        mm._PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_grey_rgb_rgba():
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    grey = rng.randint(0, 256, (7, 5), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(grey))[:, :, 0] == grey).all()
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+
+
+def test_png_all_five_filters_decode_pixel_true():
+    """decode_png must undo every spec filter (None/Sub/Up/Average/
+    Paeth) — real encoders mix them per row."""
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    blob = _forward_filter_png(px, filters=[0, 1, 2, 3, 4])
+    got = decode_png(blob)
+    assert got is not None and (got == px).all()
+
+
+def test_png_rejects_out_of_contract():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators import multimodal as mm
+
+    blob = mm.make_png_bytes(8, 6, seed=2)
+    assert mm.decode_png(b"not a png") is None
+    assert mm.decode_png(blob[:-6]) is None  # truncated IEND
+    # corrupt one IDAT byte -> CRC check must reject
+    bad = bytearray(blob)
+    bad[40] ^= 0xFF
+    assert mm.decode_png(bytes(bad)) is None
+    # 16-bit depth out of contract
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (
+        mm._PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr16)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 2 * 3 * 2))))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert mm.decode_png(deep) is None
+    # ...but the header still yields dims for the features path
+    assert mm._png_ihdr(deep)[:2] == (2, 2)
+
+
+def test_png_features_and_resize_through_spark(spark):
+    import numpy as np
+
+    from clearcare_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        image_features,
+        make_png_bytes,
+        resize_images,
+    )
+
+    png = make_png_bytes(12, 8, seed=4)
+    rows = [
+        (1, "image", png, "mem://a.png"),
+        (2, "image", b"junk", "mem://b"),
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "kind", "content", "uri"])
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].format) == (12, 8, "png")
+    assert feats[2].format == "unknown"
+    out = {r.media_id: r for r in resize_images(media, 6, 4).collect()}
+    px = decode_png(bytes(out[1].content))
+    assert px.shape == (4, 6, 3)
+    ref = decode_png(png)
+    # nearest-neighbor pixel-center map: out (0,0) samples source
+    # (floor(0.5*8/4), floor(0.5*12/6)) = (1, 1)
+    assert (px[0, 0] == ref[1, 1]).all()
+    assert out[2].content is None
