@@ -71,6 +71,23 @@ LSH_LEAF_CAP = 64
 LSH_FLAT_MAX_N = 65536
 LSH_FLAT_PLANES = 15
 
+# Broadcast cap for the flat branch's bucket self-join (ADVICE r9 #3):
+# row count alone is the wrong gate — 65,536 rows of (id, dvec, norm)
+# is ~35 MB at 64 dims but ~550 MB at 1024 dims. 64 MB keeps the
+# zero-shuffle plan for every corpus the 64-dim flat branch serves
+# while wide-embedding callers fall back to the shuffle join.
+LSH_BROADCAST_BYTES_CAP = 64 * 1024 * 1024
+
+
+def _estimated_vec_bytes(df: DataFrame, max_rows: int, vec_col: str = "embedding") -> int:
+    """max_rows x (8 bytes per dim + id/norm overhead), with the
+    dimension probed from one row (a LIMIT-1 job — the flat branch has
+    already paid a LIMIT probe; this is the same bounded discipline).
+    An empty corpus estimates 0 and broadcasts trivially."""
+    head = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    dim = int(head[0]["d"]) if head else 0
+    return max_rows * (dim * 8 + 32)
+
 
 def as_double_vec(col: Column) -> Column:
     """float32 array -> double array (exact widening; all downstream
@@ -364,8 +381,24 @@ def lsh_near_dup_pairs(
     operators/dedup.py) on top. An explicit ``num_planes`` keeps the
     fixed-width single-level bucketing unconditionally."""
     if n_bands > 1:
+        # ADVICE r9 #4: an explicit num_planes is forwarded as the
+        # per-band width (lsh_banded_pairs' planes_per_band) instead of
+        # being silently ignored; flat_max_n has no meaning in the
+        # banded path (no crossover), so a non-default value is a
+        # caller error, not something to drop on the floor.
+        if flat_max_n != LSH_FLAT_MAX_N:
+            raise ValueError(
+                "flat_max_n is a single-band crossover knob; it does not "
+                "apply when n_bands > 1"
+            )
         return lsh_banded_pairs(
-            df, min_cosine=min_cosine, id_col=id_col, n_bands=n_bands
+            df,
+            min_cosine=min_cosine,
+            id_col=id_col,
+            n_bands=n_bands,
+            planes_per_band=(
+                num_planes if num_planes is not None else LSH_FLAT_PLANES
+            ),
         )
     flat = False
     if num_planes is None:
@@ -384,11 +417,15 @@ def lsh_near_dup_pairs(
         b = lsh_buckets(df, id_col, num_planes)
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
     right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
-    if flat:
-        # the flat branch's corpus is <= flat_max_n rows by the probe
-        # (~35 MB of (id, dvec, norm) at the 65,536 cap), so the
-        # bucket self-join broadcasts its right side: zero shuffles,
-        # one stage, instead of two exchanges over a tiny input
+    if flat and _estimated_vec_bytes(df, flat_max_n) <= LSH_BROADCAST_BYTES_CAP:
+        # the flat branch's corpus is <= flat_max_n rows by the probe,
+        # so the bucket self-join broadcasts its right side: zero
+        # shuffles, one stage, instead of two exchanges over a tiny
+        # input. Gated on ESTIMATED BYTES, not row count (ADVICE r9
+        # #3): 65,536 rows is ~35 MB at 64 dims but hundreds of MB at
+        # 1024-1536 dims, where shipping the side to every executor
+        # risks memory pressure — wide embeddings take the shuffle
+        # join below the same correctness plan.
         right = F.broadcast(right)
     return (
         left.join(right, "bucket")

@@ -141,7 +141,29 @@ def cleaned_charges_cte(lineitem_relation: str = "lineitem", *, dedup: bool = Tr
     modifier normalization -> algorithm flag -> code-format filter ->
     global dedup. Returns a ``WITH``-clause body ending in relation
     ``cleaned`` (canonical columns + code_type_raw +
-    negotiated_algorithm_invalid)."""
+    negotiated_algorithm_invalid).
+
+    When ``VERIFY_ORACLE_STAGE_DIR`` is set (the local gate's
+    oracle-side stage cache — VERDICT r9 #2), the default
+    (lineitem, dedup=True) form instead reads the pre-materialized
+    parquet written by ``tools/materialize_oracle_stages.py``; see
+    ``_stage_cte`` for the content-key guarantee. The driver's own
+    harness never sets the env, so the self-contained SQL is what it
+    always runs."""
+    if dedup and lineitem_relation == "lineitem":
+        cleaned = _stage_cte("cleaned_charges", cleaned_stage_sql, "cleaned")
+        if cleaned is not None:
+            # `flagged` rides along: two audit oracles
+            # (charges_unknown_code_types, charges_code_type_mappings)
+            # read the pre-validate stage by that name.
+            flagged = _stage_cte("flagged_charges", flagged_stage_sql, "flagged")
+            return f"{flagged},\n{cleaned}"
+    return _cleaned_charges_cte_raw(lineitem_relation, dedup=dedup)
+
+
+def _flagged_prefix(lineitem_relation: str = "lineitem") -> str:
+    """The chain through ``flagged`` (derivation -> typing -> algorithm
+    flag) — the pre-validate/pre-dedup stage two audit oracles read."""
     # code_type_raw FIRST: DuckDB/Spark lateral alias resolution binds
     # later select items to earlier aliases, and the normalized
     # `code_type` alias must not shadow the raw source column here.
@@ -158,16 +180,6 @@ def cleaned_charges_cte(lineitem_relation: str = "lineitem", *, dedup: bool = Tr
         else:
             exprs.append(f"{scrub_sql(c)} AS {c}")
     select_list = ",\n    ".join(exprs)
-    canon = ", ".join(CANONICAL_COLUMNS)
-    # Dedup key = canonical columns ONLY (mirrors pipeline.clean_charges:
-    # the reference normalizes code_type in place, so its full-row dedup
-    # key is the canonical tuple); code_type_raw survives as the group
-    # minimum — the same deterministic pick the Spark side makes.
-    maybe_distinct = (
-        f"SELECT {canon}, min(code_type_raw) AS code_type_raw FROM filtered GROUP BY {canon}"
-        if dedup
-        else f"SELECT {canon}, code_type_raw FROM filtered"
-    )
     return f"""
 charges AS (
 {charges_sql(lineitem_relation)}
@@ -180,7 +192,24 @@ typed AS (
 flagged AS (
   SELECT *, {algorithm_invalid_sql('negotiated_algorithm')} AS negotiated_algorithm_invalid
   FROM typed
-),
+)
+""".strip()
+
+
+def _cleaned_suffix(*, dedup: bool = True) -> str:
+    """``filtered`` + ``cleaned`` CTEs, appended after any ``flagged``
+    relation — the full chain, or the stage-cache parquet."""
+    canon = ", ".join(CANONICAL_COLUMNS)
+    # Dedup key = canonical columns ONLY (mirrors pipeline.clean_charges:
+    # the reference normalizes code_type in place, so its full-row dedup
+    # key is the canonical tuple); code_type_raw survives as the group
+    # minimum — the same deterministic pick the Spark side makes.
+    maybe_distinct = (
+        f"SELECT {canon}, min(code_type_raw) AS code_type_raw FROM filtered GROUP BY {canon}"
+        if dedup
+        else f"SELECT {canon}, code_type_raw FROM filtered"
+    )
+    return f"""
 filtered AS (
   SELECT * FROM flagged WHERE {code_format_valid_sql()}
 ),
@@ -191,13 +220,18 @@ cleaned AS (
 """.strip()
 
 
-def tagged_charges_cte(lineitem_relation: str = "lineitem") -> str:
-    """cleaned + rule_1..rule_10 booleans + rules_violated string."""
+def _cleaned_charges_cte_raw(lineitem_relation: str = "lineitem", *, dedup: bool = True) -> str:
+    return f"{_flagged_prefix(lineitem_relation)},\n{_cleaned_suffix(dedup=dedup)}"
+
+
+def _tagged_suffix() -> str:
+    """The ``tagged`` CTE body alone (rule booleans + rules_violated),
+    to be appended after a ``cleaned`` relation from any source —
+    the full chain, or the stage-cache parquet."""
     preds = rule_predicates_sql()
     pred_cols = ",\n    ".join(f"{sql} AS {name}" for name, sql in preds.items())
     tags = ", ".join(f"CASE WHEN {name} THEN '{name}' END" for name in preds)
     return f"""
-{cleaned_charges_cte(lineitem_relation)},
 tagged AS (
   SELECT *, concat_ws(',', {tags}) AS rules_violated
   FROM (SELECT *,
@@ -205,6 +239,87 @@ tagged AS (
   FROM cleaned)
 )
 """.strip()
+
+
+def tagged_charges_cte(lineitem_relation: str = "lineitem") -> str:
+    """cleaned + rule_1..rule_10 booleans + rules_violated string.
+    Stage-cached like ``cleaned_charges_cte`` when
+    ``VERIFY_ORACLE_STAGE_DIR`` is set."""
+    if lineitem_relation == "lineitem":
+        cached = _stage_cte("tagged_charges", tagged_stage_sql, "tagged")
+        if cached is not None:
+            return cached
+    return f"""
+{cleaned_charges_cte(lineitem_relation)},
+{_tagged_suffix()}
+""".strip()
+
+
+# --- oracle-side stage cache (VERDICT r9 #2) --------------------------
+#
+# The sf10 gate's wall cost is DuckDB-bound: every charges consumer
+# re-derives the same 42.8M-row cleaned/tagged chain (~1,800 s each at
+# sf10). The engine side has had a content-keyed cleaned-parquet stage
+# cache since r6 (queries/charges.py); this mirrors it oracle-side.
+# ``tools/materialize_oracle_stages.py`` runs each stage's CANONICAL
+# self-contained SQL once per (stage, sf_dir) and writes
+# ``<dir>/<name>-<key12>.parquet`` where key12 = md5 of that SQL text.
+# With VERIFY_ORACLE_STAGE_DIR set, the CTE builders above splice in a
+# read_parquet of exactly that keyed path instead of the chain, so:
+#   * a stale cache (any constant/template edit changes the canonical
+#     SQL, hence the key) surfaces as a MISSING-FILE error, never a
+#     stale result;
+#   * the driver's harness (env unset) always gets the self-contained
+#     SQL — the cache is a local-gate optimization only.
+
+ORACLE_STAGE_ENV = "VERIFY_ORACLE_STAGE_DIR"
+
+
+def flagged_stage_sql() -> str:
+    """Canonical self-contained SQL for the flagged-charges stage
+    (pre-validate/pre-dedup)."""
+    return f"WITH {_flagged_prefix('lineitem')} SELECT * FROM flagged"
+
+
+def cleaned_stage_sql() -> str:
+    """Canonical self-contained SQL for the cleaned-charges stage."""
+    return f"WITH {_cleaned_charges_cte_raw('lineitem')} SELECT * FROM cleaned"
+
+
+def tagged_stage_sql() -> str:
+    """Canonical self-contained SQL for the tagged-charges stage."""
+    return (
+        f"WITH {_cleaned_charges_cte_raw('lineitem')},\n{_tagged_suffix()} "
+        "SELECT * FROM tagged"
+    )
+
+
+def stage_path(stage_dir: str, name: str, canonical_sql: str) -> str:
+    import hashlib
+    import os
+
+    key = hashlib.md5(canonical_sql.encode()).hexdigest()[:12]
+    return os.path.join(stage_dir, f"{name}-{key}.parquet")
+
+
+def _stage_cte(name: str, sql_fn, relation: str) -> str | None:
+    """Parquet-backed single-CTE replacement for a cached stage, or
+    None when the cache is disabled. A set env with a missing file is
+    a hard error (stale/unbuilt cache must never silently fall back —
+    the gate's runtime budget depends on the cache being in effect)."""
+    import os
+
+    stage_dir = os.environ.get(ORACLE_STAGE_ENV)
+    if not stage_dir:
+        return None
+    path = stage_path(stage_dir, name, sql_fn())
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{ORACLE_STAGE_ENV} is set but stage '{name}' is not built "
+            f"for the current code (expected {path}); run "
+            "tools/materialize_oracle_stages.py first"
+        )
+    return f"{relation} AS (SELECT * FROM read_parquet('{path}'))"
 
 
 def materialize_ctes(sql: str) -> str:

@@ -244,3 +244,45 @@ def test_lsh_recall_gate_reaches_target(spark):
     corpus = _recall_corpus(spark, "/root/testdata/sf0.01")
     one = lsh_banded_pairs(corpus, min_cosine=_MIN_COS, n_bands=1).count()
     assert row["n_found"] > 0 and one <= row["n_found"]
+
+
+def test_banded_forwards_num_planes(spark, monkeypatch):
+    """ADVICE r9 #4: an explicit num_planes must reach the banded path
+    as planes_per_band, and a non-default flat_max_n (meaningless with
+    n_bands > 1) must raise instead of being silently dropped."""
+    import pytest
+
+    seen = {}
+    real = similarity.lsh_banded_pairs
+
+    def spy(df, **kw):
+        seen.update(kw)
+        return real(df, **kw)
+
+    monkeypatch.setattr(similarity, "lsh_banded_pairs", spy)
+    rows = [(i, [float(i % 5), 1.0, 2.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    similarity.lsh_near_dup_pairs(df, n_bands=2, num_planes=7).collect()
+    assert seen["planes_per_band"] == 7 and seen["n_bands"] == 2
+    with pytest.raises(ValueError, match="flat_max_n"):
+        similarity.lsh_near_dup_pairs(df, n_bands=2, flat_max_n=5)
+
+
+def test_flat_broadcast_gated_on_bytes(spark, monkeypatch):
+    """ADVICE r9 #3: the flat branch's self-join broadcast is gated on
+    estimated bytes (rows x dim x 8), not row count — wide embeddings
+    skip the broadcast but keep the identical pair set."""
+    rows = [(i, [float(i % 7) + 1.0, float((i * 3) % 5), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    copies = df.withColumn("vec_id", df.vec_id + 1000)
+    corpus = df.unionByName(copies)
+    est = similarity._estimated_vec_bytes(corpus, similarity.LSH_FLAT_MAX_N)
+    assert est == similarity.LSH_FLAT_MAX_N * (3 * 8 + 32)
+    with_bcast = {(r.a, r.b) for r in similarity.lsh_near_dup_pairs(
+        corpus, min_cosine=0.999999).collect()}
+    monkeypatch.setattr(similarity, "LSH_BROADCAST_BYTES_CAP", 0)
+    without = {(r.a, r.b) for r in similarity.lsh_near_dup_pairs(
+        corpus, min_cosine=0.999999).collect()}
+    assert with_bcast == without
+    for i in range(30):
+        assert (i, i + 1000) in without

@@ -110,9 +110,69 @@ def test_column_mismatch_raises(spark):
 def test_eligibility_rules():
     assert hash_eligible("anything", [("a", "string"), ("b", "bigint")])
     assert not hash_eligible("anything", [("a", "array<double>")])
-    # float columns need the allowlist
-    assert not hash_eligible("running_order_total", [("a", "double")])
+    # float columns need the allowlist (lineitem_stats has noisy
+    # std/corr aggregates; running_order_total's decimal-internal
+    # window sum earned it a spot — VERDICT r9 #4)
+    assert not hash_eligible("lineitem_stats", [("a", "double")])
+    assert hash_eligible("running_order_total", [("a", "double")])
     assert hash_eligible("charges_cleaned", [("a", "double"), ("b", "string")])
+
+
+def test_separator_collision_resolved(spark):
+    """ADVICE r9 #1: values that straddle column boundaries with
+    embedded chr(31) must NOT canonicalize identically — the length
+    prefix makes the joined row string injectively decodable."""
+    dt = [("a", "string"), ("b", "string")]
+    df1 = spark.createDataFrame([("a\x1fb", "c")], "a string, b string")
+    df2 = spark.createDataFrame([("a", "b\x1fc")], "a string, b string")
+    _, h1 = spark_hash_agg(df1)
+    _, h2 = spark_hash_agg(df2)
+    assert h1 != h2
+    # NULL-sentinel boundary ambiguity too: ('x\x02NULL', None) vs ('x', '\x02NULL\x1f\x02NULL'... )
+    df3 = spark.createDataFrame([("x\x1f\x02NULL", "y")], "a string, b string")
+    df4 = spark.createDataFrame([("x", "\x02NULL\x1fy")], "a string, b string")
+    _, h3 = spark_hash_agg(df3)
+    _, h4 = spark_hash_agg(df4)
+    assert h3 != h4
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (a VARCHAR, b VARCHAR)")
+    con.execute("INSERT INTO t1 VALUES ('a' || chr(31) || 'b', 'c')")
+    n_d, h_d, _ = duck_hash_agg(con, "SELECT * FROM t1", dt)
+    assert (1, h_d) == (1, h1)  # and the cross-engine digest still agrees
+
+
+def test_float_canon_tie_cases_agree(spark):
+    """ADVICE r9 #2: the scaled-integer float canonicalization must be
+    a pure function of the bit pattern, identical across engines —
+    including classic decimal-rendering tie cases (2.675), exact .5
+    ties at the 6th decimal, negative ties, subnormals, and a sweep of
+    random doubles."""
+    import random
+
+    rng = random.Random(42)
+    vals = [
+        2.675, -2.675, 0.0000005, -0.0000005, 1.0000005, 2.6749999,
+        0.49999999999999994e-6, 123456789.1234565, -123456789.1234565,
+        5e-324, -5e-324, 0.1 + 0.2, 1e15 + 0.5, 2**53 - 1.0,
+        0.3333333333333333, -0.0,
+        # tier boundaries (2^53/1e6, 2^53, 2^83) and sf10-money-sum range
+        9007199253.999998, 9007199254.0, 9007199254.5, -9007199254.5,
+        9007199254740991.0, 9007199254740992.0, 9.671406556917032e24,
+        4.04e12, 4040404040404.0404, -4.04e12, 1e20, -7.7e22,
+        # NOT included: |x| >= 2^83 (e.g. 1e25) falls back to
+        # engine-native text, which legitimately differs — the
+        # documented caveat; no query emits such magnitudes.
+    ] + [rng.uniform(-1e9, 1e9) for _ in range(200)] \
+      + [rng.uniform(-1, 1) for _ in range(200)] \
+      + [rng.uniform(-1e13, 1e13) for _ in range(100)]
+    rows = [(float(v),) for v in vals]
+    sdf = spark.createDataFrame(rows, "d double")
+    n_s, h_s = spark_hash_agg(sdf)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tf (d DOUBLE)")
+    con.executemany("INSERT INTO tf VALUES (?)", rows)
+    n_d, h_d, _ = duck_hash_agg(con, "SELECT * FROM tf", sdf.dtypes)
+    assert (n_s, h_s) == (n_d, h_d)
 
 
 def test_decimal_column_agrees(spark):

@@ -1,0 +1,110 @@
+"""Build the oracle-side stage cache (VERDICT r9 #2).
+
+Runs each shared oracle stage's CANONICAL self-contained SQL once over
+the given sf_dir's parquet tables and writes
+``<dir>/<name>-<key12>.parquet`` (key12 = md5 of the SQL text). With
+``VERIFY_ORACLE_STAGE_DIR`` pointed at that directory, the oracle CTE
+builders in queries/_oracle_expr.py splice in a read_parquet of the
+keyed path, so every charges consumer in a gate run reuses ONE
+derivation instead of re-running the ~1,800 s (sf10) chain each.
+
+The tagged stage is built FROM the cleaned stage's parquet (exactly
+the composition the cached consumers use), so the cache itself costs
+one full chain plus one cheap predicate pass.
+
+Usage:
+  python tools/materialize_oracle_stages.py .localdata/sf10 \
+      [--dir .localdata/oracle_cache/sf10] [--mem 80GB] [--threads 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from clearcare_data_pipeline_spark.queries import _oracle_expr as oe  # noqa: E402
+from clearcare_data_pipeline_spark.schema import TESTDATA_TABLES  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--dir", default=None,
+                    help="cache dir (default <sf_dir>/../oracle_cache/<sf name>)")
+    ap.add_argument("--mem", default=os.environ.get("VERIFY_DUCKDB_MEM", "48GB"))
+    ap.add_argument("--threads", default=os.environ.get("VERIFY_DUCKDB_THREADS", "8"))
+    args = ap.parse_args()
+
+    if os.environ.get(oe.ORACLE_STAGE_ENV):
+        # the builder must compose CANONICAL SQL, never cache-backed SQL
+        print(f"refusing to run with {oe.ORACLE_STAGE_ENV} set")
+        return 2
+
+    sf_dir = args.sf_dir.rstrip("/")
+    cache = args.dir or os.path.join(
+        os.path.dirname(sf_dir), "oracle_cache", os.path.basename(sf_dir)
+    )
+    os.makedirs(cache, exist_ok=True)
+
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{args.mem}'")
+    con.execute(f"SET threads={args.threads}")
+    con.execute("SET preserve_insertion_order=false")
+    tmpdir = f"{tempfile.gettempdir()}/duckdb_spill_{os.getpid()}"
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # Each stage is keyed by its CANONICAL self-contained SQL but BUILT
+    # from the previous stage's parquet (the chain runs once total):
+    # flagged = full derivation; cleaned = validate+dedup over flagged;
+    # tagged = rule predicates over cleaned.
+    flagged_path = oe.stage_path(cache, "flagged_charges", oe.flagged_stage_sql())
+    if os.path.exists(flagged_path):
+        print(f"flagged_charges: up to date ({flagged_path})")
+    else:
+        t0 = time.time()
+        con.execute(
+            f"COPY ({oe.materialize_ctes(oe.flagged_stage_sql())}) "
+            f"TO '{flagged_path}' (FORMAT PARQUET)"
+        )
+        print(f"flagged_charges: built in {time.time()-t0:.0f}s -> {flagged_path}")
+
+    cleaned_path = oe.stage_path(cache, "cleaned_charges", oe.cleaned_stage_sql())
+    if os.path.exists(cleaned_path):
+        print(f"cleaned_charges: up to date ({cleaned_path})")
+    else:
+        t0 = time.time()
+        from_flagged = (
+            f"WITH flagged AS (SELECT * FROM read_parquet('{flagged_path}')),\n"
+            f"{oe._cleaned_suffix()} SELECT * FROM cleaned"
+        )
+        con.execute(f"COPY ({from_flagged}) TO '{cleaned_path}' (FORMAT PARQUET)")
+        print(f"cleaned_charges: built in {time.time()-t0:.0f}s -> {cleaned_path}")
+
+    tagged_path = oe.stage_path(cache, "tagged_charges", oe.tagged_stage_sql())
+    if os.path.exists(tagged_path):
+        print(f"tagged_charges: up to date ({tagged_path})")
+    else:
+        t0 = time.time()
+        from_cleaned = (
+            f"WITH cleaned AS (SELECT * FROM read_parquet('{cleaned_path}')),\n"
+            f"{oe._tagged_suffix()} SELECT * FROM tagged"
+        )
+        con.execute(f"COPY ({from_cleaned}) TO '{tagged_path}' (FORMAT PARQUET)")
+        print(f"tagged_charges: built in {time.time()-t0:.0f}s -> {tagged_path}")
+
+    print(f"export {oe.ORACLE_STAGE_ENV}={cache}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -30,14 +30,25 @@ python tools/verify_segmented.py .localdata/sf10 --out $OUT/sf10_cheap.json \
 
 wait $NDPID
 
-for q in emb_semantic_dedup emb_lsh_recall charges_cleaned charges_quarantine; do
+for q in emb_semantic_dedup emb_lsh_recall; do
   VERIFY_DUCKDB_MEM=80GB VERIFY_DUCKDB_THREADS=8 \
     python tools/verify_local.py --out $OUT/sf10_$q.json .localdata/sf10 $q
+done
+
+# The charges pair were launched by hand (solo, staggered around the
+# semantic-dedup run to respect the one-spill-heavy-oracle-at-a-time
+# disk budget), hence the _manual suffix on their committed artifacts;
+# the loop below reproduces those runs under the same names (ADVICE r9
+# #5: the script previously merged sf10_charges_*.json, names no run
+# ever wrote).
+for q in charges_cleaned charges_quarantine; do
+  VERIFY_DUCKDB_MEM=80GB VERIFY_DUCKDB_THREADS=8 \
+    python tools/verify_local.py --out $OUT/sf10_${q}_manual.json .localdata/sf10 $q
 done
 
 python tools/merge_correctness.py --out CORRECTNESS_SF10_r09.json \
   --note "r9: 24 cheap re-run + emb family re-run (code changed) + charges pair NEWLY GATED via in-engine hash compare + emb_lsh_recall (new query); 4 entries preserved from CORRECTNESS_SF10_r08 where code and oracle are byte-identical to ab779fc (charges_rule_counts, charges_score, emb_ann_recall, doc_near_dup_clusters)" \
   CORRECTNESS_SF10_r08.json $OUT/sf10_cheap.json $OUT/sf10_neardup.json \
   $OUT/sf10_emb_semantic_dedup.json $OUT/sf10_emb_lsh_recall.json \
-  $OUT/sf10_charges_cleaned.json $OUT/sf10_charges_quarantine.json
+  $OUT/sf10_charges_cleaned_manual.json $OUT/sf10_charges_quarantine_manual.json
 echo SF10_GATE_DONE

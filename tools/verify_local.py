@@ -100,12 +100,38 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 # by construction (sum is commutative), multiset-exact (differing
 # multiplicities shift the sum), and the row canonicalization is
 # engine-portable:
-#   * columns in sorted-name order, joined with chr(31), NULL -> a
-#     chr(2) sentinel (concat_ws would silently drop NULLs);
-#   * float/double rounded to 6dp then rendered via DECIMAL(38,6) so
-#     both engines print the identical fixed-point text (plain
-#     double->string formats diverge: Spark '1.0E7', DuckDB
-#     '10000000.0'); NaN/±Inf get sentinels; |x| >= 1e32 falls back to
+#   * columns in sorted-name order, each field LENGTH-PREFIXED as
+#     "<charlen>:<canon>" and then joined with chr(31) (ADVICE r9 #1:
+#     without the prefix, distinct multisets could collide across
+#     column boundaries when string values contain the separator —
+#     ('a\x1fb','c') vs ('a','b\x1fc'); the length prefix makes the
+#     joined string injectively decodable, so no such collision
+#     exists). NULL -> a chr(2) sentinel (concat_ws would silently
+#     drop NULLs); both engines count length in unicode codepoints.
+#   * float/double canonicalized as a TIERED SCALED INTEGER — a pure
+#     function of the bit pattern that both engines compute
+#     identically. Tier 1 (|x| < 2^53/1e6): round(x * 1e6) as
+#     DECIMAL(38,0) — the multiply is the same IEEE-754 op on both
+#     sides, the scaled value stays under 2^53 so the round target is
+#     exactly representable, and scale-0 rounding of the *same*
+#     double agrees between Spark (BigDecimal of the shortest decimal
+#     repr, HALF_UP) and DuckDB (std::round, half away from zero):
+#     exact .5 ties round away from zero in both, and a non-tie's
+#     shortest repr provably lies on the same side of every
+#     half-integer as the double itself. Tier 2 (< 2^53): round(x)
+#     (granularity 1.0 — tighter than the pandas path's rtol=1e-9 at
+#     these magnitudes). Tier 3 (< 2^53*2^30): round(x / 2^30) — the
+#     power-of-two divide is exact. Tiers carry distinct sentinels so
+#     values can't collide across tiers; branch predicates compare
+#     the identical double against identical literals, so both
+#     engines always take the same branch. The previous
+#     round(x, 6)->DECIMAL(38,6) rendering was NOT a pure function of
+#     the bits (ADVICE r9 #2): Spark rounds the decimal rendering
+#     while DuckDB rounds the scaled binary value, so 2.675-style
+#     ties canonicalized differently per engine — and above 2^53 the
+#     engines' double->decimal conversions diverge outright (shortest
+#     repr vs exact binary), which the old scheme hit at sf10 money
+#     sums (~1e12). NaN/±Inf get sentinels; |x| >= 2^83 falls back to
 #     the engine's native text (document-level caveat, no such query);
 #   * timestamps forced to microsecond text on both sides;
 #   * uint64 = first 16 hex chars of md5 (Spark conv(..,16,10) ==
@@ -113,16 +139,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 #     summed as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so ANSI-mode
 #     sums can't overflow.
 #
-# Exactness caveat: the hash compare is EXACT after the 6dp round —
-# no isclose tolerance — so it only applies to queries whose float
-# columns are per-row values both engines derive bit-identically
-# (parquet reads, correctly-rounded string->double casts). Queries
-# whose floats carry cross-engine last-ULP noise (multi-row float
-# aggregates like running_order_total's window sums) are NOT eligible
-# unless allowlisted, and stay on the pandas path. On a digest
-# mismatch of a small result the harness re-runs the pandas compare
-# for diagnostics (and its verdict, restoring tolerance semantics);
-# big results report the digests.
+# Exactness caveat: the hash compare is EXACT after the 1e-6 scaling
+# — no isclose tolerance — so float-bearing queries are eligible only
+# when both engines derive every float bit-identically. That is a
+# per-query proof obligation, recorded in _HASH_FLOAT_OK below. On a
+# digest mismatch of a small result the harness re-runs the pandas
+# compare for diagnostics (and its verdict, restoring tolerance
+# semantics); big results report the digests.
 
 _HASH_SENT = "\x02"
 _HASH_SEP = "\x1f"
@@ -131,16 +154,53 @@ _HASH_SIMPLE = {
     "date", "timestamp", "timestamp_ntz",
 }
 _HASH_FLOATY = {"float", "double"}
-# float-bearing queries whose floats are per-row (bit-identical) values:
-# parsed/parquet-read prices, or deterministic per-row derivations of
-# integers (part_name_linkage's levenshtein ratio) — never multi-row
-# float aggregates
-_HASH_FLOAT_OK = set(
-    os.environ.get(
-        "VERIFY_HASH_FLOAT_OK",
-        "charges_cleaned,charges_quarantine,merge_orders_upsert,"
-        "charges_rules_tagged,part_name_linkage",
-    ).split(",")
+# Float-bearing queries whose float outputs are BIT-IDENTICAL across
+# engines, with the exactness argument per entry (VERDICT r9 #4 —
+# extend hash eligibility past the original five). The four exactness
+# patterns:
+#   per-row   — parquet-read or per-row-derived values (string->double
+#               casts are correctly rounded in both engines; fixed-order
+#               HOF fold sums are the same IEEE adds);
+#   decimal   — aggregates computed in exact DECIMAL internally, cast
+#               to double only at output (queries/relational.py
+#               pattern);
+#   min/max   — order-insensitive exact picks of per-row values;
+#   int-sum   — sums of integer-valued doubles: every partial sum is
+#               an integer < 2^53, so double addition is exact and
+#               order-independent.
+# Float AGGREGATES over non-integer doubles (std/corr/percentile
+# interpolation/iterative scores) stay on the pandas path.
+_HASH_FLOAT_OK_DEFAULT = {
+    "charges_cleaned": "per-row parsed prices",
+    "charges_quarantine": "per-row parsed prices",
+    "charges_rules_tagged": "per-row parsed prices",
+    "merge_orders_upsert": "per-row o_totalprice",
+    "part_name_linkage": "per-row levenshtein ratio of ints",
+    "running_order_total": "decimal window sum; lag is per-row",
+    "trailing_30d_spend": "decimal window sum",
+    "customer_cohort_ltv": "decimal sums, round6 of 4dp values",
+    "events_scd2_versions": "per-row value round6 (2dp source)",
+    "orders_snapshot_diff": "per-row o_totalprice",
+    "unpivot_part_metrics": "per-row unpivoted part columns",
+    "cheapest_supplier_per_part": "min + per-row l_extendedprice",
+    "topk_customers_per_segment": "per-row c_acctbal",
+    "supplier_ranks": "per-row s_acctbal",
+    "q18_large_orders": "per-row o_totalprice; sum_qty is int-sum",
+    "events_first_last_purchase": "deterministic per-row value picks",
+    "q1_pricing_summary": "decimal sums; avgs divide identical pairs",
+    "q3_top_revenue_orders": "decimal revenue",
+    "q5_regional_revenue": "decimal revenue",
+    "q6_forecast_revenue": "decimal revenue",
+    "q19_disjunctive_revenue": "decimal revenue",
+    "rollup_revenue": "decimal revenue",
+    "grouping_sets_time_revenue": "decimal revenue",
+    "nation_revenue_share": "decimal sums; share divides identical pairs",
+    "q14_promo_revenue_ratio": "decimal ratio",
+}
+_HASH_FLOAT_OK = (
+    set(os.environ["VERIFY_HASH_FLOAT_OK"].split(","))
+    if os.environ.get("VERIFY_HASH_FLOAT_OK")
+    else set(_HASH_FLOAT_OK_DEFAULT)
 )
 _HASH_DIAG_MAX = int(os.environ.get("VERIFY_HASH_DIAG_MAX", "2000000"))
 
@@ -162,22 +222,29 @@ def _spark_canon(name: str, dtype: str):
 
     c = F.col(name)
     if dtype in _HASH_FLOATY:
+        y = c.cast("double")
+
+        def _tier(expr, tag=""):
+            s = F.round(expr).try_cast("decimal(38,0)").cast("string")
+            return F.concat(F.lit(_HASH_SENT + tag), s) if tag else s
+
         canon = (
             F.when(F.isnan(c), F.lit(_HASH_SENT + "NaN"))
             .when(c == float("inf"), F.lit(_HASH_SENT + "Inf"))
             .when(c == float("-inf"), F.lit(_HASH_SENT + "-Inf"))
-            .otherwise(
-                F.coalesce(
-                    F.round(c, 6).try_cast("decimal(38,6)").cast("string"),
-                    c.cast("string"),
-                )
-            )
+            .when(F.abs(y) < F.lit(9007199254.0), _tier(y * F.lit(1e6)))
+            .when(F.abs(y) < F.lit(9007199254740992.0), _tier(y, "T2:"))
+            .when(F.abs(y) < F.lit(9.671406556917033e24),
+                  _tier(y / F.lit(1073741824.0), "T3:"))
+            .otherwise(c.cast("string"))
         )
     elif dtype in ("timestamp", "timestamp_ntz"):
         canon = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     else:  # string / ints / boolean / date / decimal(p,s)
         canon = c.cast("string")
-    return F.coalesce(canon, F.lit(_HASH_SENT + "NULL"))
+    field = F.coalesce(canon, F.lit(_HASH_SENT + "NULL"))
+    # length prefix: injective joining (ADVICE r9 #1)
+    return F.concat(F.length(field).cast("string"), F.lit(":"), field)
 
 
 def spark_hash_agg(df) -> tuple[int, int]:
@@ -194,12 +261,18 @@ def spark_hash_agg(df) -> tuple[int, int]:
 def _duck_canon(name: str, dtype: str) -> str:
     q = '"' + name.replace('"', '""') + '"'
     if dtype in _HASH_FLOATY:
+        y = f"{q}::DOUBLE"
         canon = (
-            f"CASE WHEN isnan({q}::DOUBLE) THEN chr(2)||'NaN' "
-            f"WHEN {q}::DOUBLE = 'infinity'::DOUBLE THEN chr(2)||'Inf' "
-            f"WHEN {q}::DOUBLE = '-infinity'::DOUBLE THEN chr(2)||'-Inf' "
-            f"ELSE coalesce(TRY_CAST(round({q}::DOUBLE, 6) AS DECIMAL(38,6))::VARCHAR, "
-            f"({q}::DOUBLE)::VARCHAR) END"
+            f"CASE WHEN isnan({y}) THEN chr(2)||'NaN' "
+            f"WHEN {y} = 'infinity'::DOUBLE THEN chr(2)||'Inf' "
+            f"WHEN {y} = '-infinity'::DOUBLE THEN chr(2)||'-Inf' "
+            f"WHEN abs({y}) < 9007199254.0 THEN "
+            f"TRY_CAST(round({y} * 1e6) AS DECIMAL(38,0))::VARCHAR "
+            f"WHEN abs({y}) < 9007199254740992.0 THEN "
+            f"chr(2)||'T2:'||TRY_CAST(round({y}) AS DECIMAL(38,0))::VARCHAR "
+            f"WHEN abs({y}) < 9.671406556917033e24 THEN "
+            f"chr(2)||'T3:'||TRY_CAST(round({y} / 1073741824.0) AS DECIMAL(38,0))::VARCHAR "
+            f"ELSE ({y})::VARCHAR END"
         )
     elif dtype.startswith("decimal("):
         canon = f"({q}::{dtype.upper()})::VARCHAR"
@@ -213,7 +286,9 @@ def _duck_canon(name: str, dtype: str) -> str:
         canon = f"{q}::VARCHAR"
     else:  # ints — HUGEINT accommodates any integral oracle type
         canon = f"({q}::HUGEINT)::VARCHAR"
-    return f"coalesce({canon}, chr(2)||'NULL')"
+    field = f"coalesce({canon}, chr(2)||'NULL')"
+    # length prefix: injective joining (ADVICE r9 #1)
+    return f"length({field})::VARCHAR || ':' || ({field})"
 
 
 def duck_hash_agg(con, sql: str, dtypes: list[tuple[str, str]]) -> tuple[int, int, list[str]]:
