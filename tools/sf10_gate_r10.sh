@@ -63,7 +63,10 @@ python tools/verify_segmented.py .localdata/sf10 --out $OUT/sf10_charges_r10.jso
   --queries $CHARGES --mem 60GB --threads 8 --seg-size 10
 
 # --- 3: medium one-per-process --------------------------------------
-for q in doc_training_selection approx_distinct_parts emb_lsh_buckets; do
+# running_order_total is already r9-gated (pandas path, 523 s of
+# driver materialization) — re-run for the VERDICT r9 #4 receipt:
+# 15M rows through the in-engine hash path, zero materialization.
+for q in doc_training_selection approx_distinct_parts emb_lsh_buckets running_order_total; do
   VERIFY_DUCKDB_MEM=60GB VERIFY_DUCKDB_THREADS=8 \
     python tools/verify_local.py --out $OUT/sf10_$q.json .localdata/sf10 $q
 done
@@ -79,6 +82,6 @@ python tools/merge_correctness.py --out CORRECTNESS_SF10_r10.json \
   --note "r10: 90 cheap + 10 charges (through the oracle stage cache, incl. the r9-gated 4 re-run as the cache speedup receipt) + 5 medium/solo run fresh on HEAD; remaining entries preserved from CORRECTNESS_SF10_r09 where the executed sf10 code paths and oracles are unchanged (emb_ann_recall, emb_ivf_topk, emb_near_dup_pairs ladder branch, emb_lsh_recall via direct lsh_banded_pairs, emb_semantic_dedup, emb_kmeans_clusters, doc_* and events_* unchanged files)" \
   CORRECTNESS_SF10_r09.json $OUT/sf10_cheap_r10.json $OUT/sf10_charges_r10.json \
   $OUT/sf10_doc_training_selection.json $OUT/sf10_approx_distinct_parts.json \
-  $OUT/sf10_emb_lsh_buckets.json $OUT/sf10_part_name_linkage.json \
-  $OUT/sf10_emb_ivf_topk_nprobe2.json
+  $OUT/sf10_emb_lsh_buckets.json $OUT/sf10_running_order_total.json \
+  $OUT/sf10_part_name_linkage.json $OUT/sf10_emb_ivf_topk_nprobe2.json
 echo SF10_GATE_R10_DONE
