@@ -79,14 +79,20 @@ LSH_FLAT_PLANES = 15
 LSH_BROADCAST_BYTES_CAP = 64 * 1024 * 1024
 
 
-def _estimated_vec_bytes(df: DataFrame, max_rows: int, vec_col: str = "embedding") -> int:
-    """max_rows x (8 bytes per dim + id/norm overhead), with the
-    dimension probed from one row (a LIMIT-1 job — the flat branch has
-    already paid a LIMIT probe; this is the same bounded discipline).
-    An empty corpus estimates 0 and broadcasts trivially."""
-    head = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
-    dim = int(head[0]["d"]) if head else 0
+def _vec_bytes_estimate(dim: int, max_rows: int) -> int:
+    """max_rows x (8 bytes per dim + id/norm overhead)."""
     return max_rows * (dim * 8 + 32)
+
+
+def _estimated_vec_bytes(df: DataFrame, max_rows: int, vec_col: str = "embedding") -> int:
+    """Byte estimate with the dimension probed from one row (a LIMIT-1
+    job). The flat-branch caller avoids even this by folding the dim
+    into its existing LIMIT count probe; this standalone form serves
+    direct callers. An empty corpus estimates 0 and broadcasts
+    trivially."""
+    head = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    dim = int(head[0]["d"]) if head and head[0]["d"] is not None else 0
+    return _vec_bytes_estimate(dim, max_rows)
 
 
 def as_double_vec(col: Column) -> Column:
@@ -408,7 +414,16 @@ def lsh_near_dup_pairs(
         # scanning the whole corpus (the dedicated full-count job was
         # the measured +8% at sf10) — the same bounded-probe
         # discipline as cosine_topk's broadcast guard.
-        if df.limit(flat_max_n + 1).count() <= flat_max_n:
+        # One probe job returns BOTH the capped count and the vector
+        # dimension (for the broadcast byte gate below) — folding the
+        # ADVICE r9 #3 dim probe into the existing LIMIT probe keeps
+        # the flat branch at a single probe job.
+        probe = df.limit(flat_max_n + 1).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size(F.col("embedding"))).alias("dim"),
+        ).collect()[0]
+        flat_dim = int(probe["dim"]) if probe["dim"] is not None else 0
+        if int(probe["n"]) <= flat_max_n:
             b = lsh_buckets(df, id_col, LSH_FLAT_PLANES)
             flat = True
         else:
@@ -417,7 +432,7 @@ def lsh_near_dup_pairs(
         b = lsh_buckets(df, id_col, num_planes)
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
     right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
-    if flat and _estimated_vec_bytes(df, flat_max_n) <= LSH_BROADCAST_BYTES_CAP:
+    if flat and _vec_bytes_estimate(flat_dim, flat_max_n) <= LSH_BROADCAST_BYTES_CAP:
         # the flat branch's corpus is <= flat_max_n rows by the probe,
         # so the bucket self-join broadcasts its right side: zero
         # shuffles, one stage, instead of two exchanges over a tiny
