@@ -51,6 +51,32 @@ _ALLOWED = ", ".join(f"'{t}'" for t in ALLOWED_CODE_TYPES)
 # Tall: one CSV row per charge x payer; 2 (code, type) slots, slot 2
 # often blank; raw types mix canonical, lowercase, mapped and unknown
 # spellings so both the F7 normalization and the R3 gate have work.
+# --- oracle-side stage cache hook (VERDICT r9 #2 pattern) -------------
+#
+# The three derive chains re-scan lineitem (60M rows at sf10) inside
+# EVERY extract oracle — extract_tall_unknown_types spent 301 s at sf10
+# deriving a 1-row answer (SCALING_r10). With VERIFY_ORACLE_STAGE_DIR
+# set, the oracle side reads the content-keyed parquet stage written by
+# tools/materialize_oracle_stages.py instead; env unset (the driver's
+# harness) composes the byte-identical canonical SQL. Fixture building
+# (the CSV/JSON the SPARK side reads) always uses the canonical derive
+# — it runs once per (sf_dir, layout) in-process and is not the cost.
+
+_EXTRACT_DERIVES = {}  # filled after the derive constants below
+
+
+def extract_stage_sql(relation: str) -> str:
+    """Canonical self-contained SQL for an extract derive stage."""
+    return f"WITH {_EXTRACT_DERIVES[relation]} SELECT * FROM {relation}"
+
+
+def _derive_or_stage(relation: str) -> str:
+    from clearcare_data_pipeline_spark.queries._oracle_expr import _stage_cte
+
+    cached = _stage_cte(relation, lambda: extract_stage_sql(relation), relation)
+    return cached if cached is not None else _EXTRACT_DERIVES[relation]
+
+
 _TALL_DERIVE = """
 base AS (
   -- the synthetic lineitem contains duplicate (orderkey, linenumber)
@@ -246,6 +272,10 @@ raw_json AS (
 """.strip()
 
 _HOSP_JSON = "Synthetic JSON Hospital"
+
+_EXTRACT_DERIVES.update(
+    {"raw_tall": _TALL_DERIVE, "raw_wide": _WIDE_DERIVE, "raw_json": _JSON_DERIVE}
+)
 
 _JSON_COLS = [
     "k", "description", "code1", "code1_type", "code2", "code2_type",
@@ -458,7 +488,7 @@ def _payer_id_sql(col: str) -> str:
 def _tall_oracle() -> str:
     norm = code_type_norm_sql("code_type_raw")
     return f"""
-WITH {_TALL_DERIVE},
+WITH {_derive_or_stage("raw_tall")},
 slots AS (
   SELECT *, code1 AS code, code1_type AS code_type_raw FROM raw_tall
   WHERE code1 <> '' AND code1_type <> ''
@@ -495,7 +525,7 @@ FROM kept
 def _tall_unknown_oracle() -> str:
     norm = code_type_norm_sql("code_type_raw")
     return f"""
-WITH {_TALL_DERIVE},
+WITH {_derive_or_stage("raw_tall")},
 slots AS (
   SELECT code1 AS code, code1_type AS code_type_raw FROM raw_tall
   WHERE code1 <> '' AND code1_type <> ''
@@ -532,7 +562,7 @@ def _wide_oracle() -> str:
         for f in payer_fields
     )
     return f"""
-WITH {_WIDE_DERIVE},
+WITH {_derive_or_stage("raw_wide")},
 cells AS (
 {cells}
 ),
@@ -593,7 +623,7 @@ FROM grouped
 def _json_oracle() -> str:
     norm = code_type_norm_sql("code_type_raw")
     return f"""
-WITH {_JSON_DERIVE},
+WITH {_derive_or_stage("raw_json")},
 slots AS (
   SELECT *, code1 AS code, code1_type AS code_type_raw FROM raw_json
   UNION ALL

@@ -60,7 +60,9 @@ def test_cached_oracles_match_canonical(stage_cache, monkeypatch):
     _fresh_oracles()  # restore module state for other tests
     for name in ["charges_cleaned", "charges_quarantine", "charges_rules_tagged",
                  "charges_unknown_code_types", "charges_code_type_mappings",
-                 "charges_score"]:
+                 "charges_score", "extract_tall_canonical",
+                 "extract_tall_unknown_types", "extract_wide_canonical",
+                 "extract_json_canonical"]:
         assert cached[name] != canonical[name]  # the cache actually engaged
         a = _run(canonical[name])
         a = a.sort_values(by=list(a.columns)).reset_index(drop=True)

@@ -90,6 +90,18 @@ def main() -> int:
         con.execute(f"COPY ({from_flagged}) TO '{cleaned_path}' (FORMAT PARQUET)")
         print(f"cleaned_charges: built in {time.time()-t0:.0f}s -> {cleaned_path}")
 
+    from clearcare_data_pipeline_spark.queries import extractors as ex
+
+    for rel in ("raw_tall", "raw_wide", "raw_json"):
+        sql = ex.extract_stage_sql(rel)
+        path = oe.stage_path(cache, rel, sql)
+        if os.path.exists(path):
+            print(f"{rel}: up to date ({path})")
+            continue
+        t0 = time.time()
+        con.execute(f"COPY ({oe.materialize_ctes(sql)}) TO '{path}' (FORMAT PARQUET)")
+        print(f"{rel}: built in {time.time()-t0:.0f}s -> {path}")
+
     tagged_path = oe.stage_path(cache, "tagged_charges", oe.tagged_stage_sql())
     if os.path.exists(tagged_path):
         print(f"tagged_charges: up to date ({tagged_path})")
