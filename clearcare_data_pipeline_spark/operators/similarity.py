@@ -418,11 +418,20 @@ def lsh_near_dup_pairs(
         # dimension (for the broadcast byte gate below) — folding the
         # ADVICE r9 #3 dim probe into the existing LIMIT probe keeps
         # the flat branch at a single probe job.
+        # F.max (not F.first) over the capped sample: null-skipping, so
+        # a NULL embedding in the sample cannot zero the dim and defeat
+        # the byte gate, and deterministic regardless of partition
+        # order (ADVICE r10 #4).
         probe = df.limit(flat_max_n + 1).agg(
             F.count(F.lit(1)).alias("n"),
-            F.first(F.size(F.col("embedding"))).alias("dim"),
+            F.max(F.size(F.col("embedding"))).alias("dim"),
         ).collect()[0]
         flat_dim = int(probe["dim"]) if probe["dim"] is not None else 0
+        # ADVICE r10 #3: the byte gate sizes the ACTUAL corpus (probed
+        # capped count), not the crossover ceiling — a 100-row x
+        # 4096-dim corpus is ~3 MB, not the 2 GB a flat_max_n estimate
+        # would claim, and keeps its zero-shuffle broadcast plan.
+        flat_rows = min(int(probe["n"]), flat_max_n)
         if int(probe["n"]) <= flat_max_n:
             b = lsh_buckets(df, id_col, LSH_FLAT_PLANES)
             flat = True
@@ -432,7 +441,7 @@ def lsh_near_dup_pairs(
         b = lsh_buckets(df, id_col, num_planes)
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
     right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
-    if flat and _vec_bytes_estimate(flat_dim, flat_max_n) <= LSH_BROADCAST_BYTES_CAP:
+    if flat and _vec_bytes_estimate(flat_dim, flat_rows) <= LSH_BROADCAST_BYTES_CAP:
         # the flat branch's corpus is <= flat_max_n rows by the probe,
         # so the bucket self-join broadcasts its right side: zero
         # shuffles, one stage, instead of two exchanges over a tiny

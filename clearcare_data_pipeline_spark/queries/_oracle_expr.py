@@ -266,13 +266,87 @@ def tagged_charges_cte(lineitem_relation: str = "lineitem") -> str:
 # ``<dir>/<name>-<key12>.parquet`` where key12 = md5 of that SQL text.
 # With VERIFY_ORACLE_STAGE_DIR set, the CTE builders above splice in a
 # read_parquet of exactly that keyed path instead of the chain, so:
-#   * a stale cache (any constant/template edit changes the canonical
-#     SQL, hence the key) surfaces as a MISSING-FILE error, never a
-#     stale result;
+#   * a CODE-stale cache (any constant/template edit changes the
+#     canonical SQL, hence the key) surfaces as a MISSING-FILE error,
+#     never a stale result;
+#   * a DATA-stale cache (sf_dir parquet regenerated, or the env
+#     pointed at another scale's cache) is caught by the SOURCE.json
+#     marker (ADVICE r10 #1): the materializer records a fingerprint
+#     of the source tables (realpath + per-table size + head digest),
+#     and the gate harness (tools/verify_local.py) refuses to run when
+#     the marker is absent or disagrees with the sf_dir under test.
+#     The SQL key alone does NOT bind to the data — never export the
+#     env against a cache whose marker check has not run;
 #   * the driver's harness (env unset) always gets the self-contained
 #     SQL — the cache is a local-gate optimization only.
 
 ORACLE_STAGE_ENV = "VERIFY_ORACLE_STAGE_DIR"
+STAGE_MARKER = "SOURCE.json"
+
+
+def data_fingerprint(sf_dir: str) -> dict:
+    """Fingerprint of the source tables a stage cache was built from:
+    realpath of the sf_dir plus, per table, the parquet file's byte
+    size and an md5 of its LAST 1 MiB. The tail, not the head: the
+    parquet footer carries row-group metadata and per-column min/max
+    stats, so any content change perturbs it, whereas two tables'
+    leading pages can be byte-identical (observed: an ascending int64
+    key column encodes the same first MiB in customer and documents).
+    Cheap (stat + one bounded read per table); a byte-identical
+    regeneration is by definition not stale."""
+    import hashlib
+    import os
+
+    tables = {}
+    for fn in sorted(os.listdir(sf_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, fn)
+        size = os.path.getsize(p)
+        h = hashlib.md5()
+        with open(p, "rb") as f:
+            f.seek(max(0, size - (1 << 20)))
+            h.update(f.read(1 << 20))
+        tables[fn] = {"size": size, "tail_md5": h.hexdigest()}
+    return {"sf_dir": os.path.realpath(sf_dir), "tables": tables}
+
+
+def write_stage_marker(cache_dir: str, sf_dir: str) -> None:
+    import json
+    import os
+
+    with open(os.path.join(cache_dir, STAGE_MARKER), "w") as f:
+        json.dump(data_fingerprint(sf_dir), f, indent=1, sort_keys=True)
+
+
+def check_stage_marker(cache_dir: str, sf_dir: str) -> None:
+    """Hard-error unless ``cache_dir``'s SOURCE.json matches the
+    CURRENT fingerprint of ``sf_dir``. Called by gate harnesses that
+    know the sf_dir under test (the CTE builders themselves only see
+    the env var, so enforcement lives at the verify entrypoints)."""
+    import json
+    import os
+
+    marker = os.path.join(cache_dir, STAGE_MARKER)
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"{ORACLE_STAGE_ENV} points at {cache_dir} which has no "
+            f"{STAGE_MARKER}; rebuild it with "
+            "tools/materialize_oracle_stages.py (or --adopt-existing "
+            "if you can vouch for its provenance)"
+        )
+    with open(marker) as f:
+        recorded = json.load(f)
+    current = data_fingerprint(sf_dir)
+    if recorded != current:
+        raise ValueError(
+            f"oracle stage cache {cache_dir} was built from "
+            f"{recorded['sf_dir']} but the gate is running against "
+            f"{current['sf_dir']} whose tables do not match the "
+            "recorded fingerprint (regenerated data or wrong-scale "
+            "cache); rebuild the cache or unset "
+            f"{ORACLE_STAGE_ENV}"
+        )
 
 
 def flagged_stage_sql() -> str:

@@ -527,6 +527,94 @@ QUERIES["part_name_linkage"] = q_part_name_linkage
 ORACLES["part_name_linkage"] = _LINKAGE_ORACLE
 
 
+def q_part_name_linkage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block linkage PAIR COUNTS — the scale-safe form of
+    ``part_name_linkage`` (VERDICT r10 #3).
+
+    The candidate LISTING is quadratic per block (14.1M rows already
+    at sf1: 64 distinct part names means huge same-name cliques), so
+    it cannot be materialized at sf10+. This keeps the SAME operator —
+    operators/joins.py blocked_similarity_join, salt probe and all —
+    but feeds it the DISTINCT (brand, name) relation with clique
+    populations: cross-name qualifying pairs weigh n_a*n_b,
+    within-name pairs (similarity 1.0 >= threshold by definition)
+    weigh n*(n-1)/2, aggregated per (p_brand, first_word) block
+    (<= 200 rows out). Collapse-before-join is the 100 TB design for
+    low-cardinality text: the quadratic join runs over <= 1,600
+    collapsed rows regardless of part count."""
+    from clearcare_data_pipeline_spark.operators.joins import blocked_similarity_join
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            "p_brand",
+            F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+            "p_name",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # id must be unique ACROSS blocks (the operator's output drops the
+    # block columns): brand|name is, and within a block the brand
+    # prefix is constant so id ordering degenerates to name ordering —
+    # the same a < b the per-part oracle uses.
+    collapsed = names.withColumn("id", F.concat_ws("|", "p_brand", "p_name"))
+    pairs = blocked_similarity_join(
+        collapsed, collapsed, ["p_brand", "first_word"], "p_name",
+        min_sim=_LINK_MIN_SIM,
+    )
+    cross = (
+        pairs
+        .join(
+            collapsed.select(
+                F.col("id").alias("left_id"), F.col("n").alias("n_l"),
+                "p_brand", "first_word",
+            ),
+            "left_id",
+        )
+        .join(collapsed.select(F.col("id").alias("right_id"), F.col("n").alias("n_r")), "right_id")
+        .select(
+            "p_brand", "first_word",
+            (F.col("n_l").cast("long") * F.col("n_r")).alias("w"),
+        )
+    )
+    same = names.where(F.col("n") > 1).select(
+        "p_brand", "first_word",
+        (F.col("n").cast("long") * (F.col("n") - 1) / 2).cast("long").alias("w"),
+    )
+    return (
+        cross.unionByName(same)
+        .groupBy("p_brand", "first_word")
+        .agg(F.sum("w").alias("n_pairs"))
+    )
+
+
+_LINKAGE_COUNTS_ORACLE = f"""
+WITH names AS (
+  SELECT p_brand, split_part(p_name, ' ', 1) AS first_word, p_name,
+         count(*) AS n
+  FROM part GROUP BY 1, 2, 3
+),
+cross_w AS (
+  SELECT a.p_brand, a.first_word, CAST(a.n AS HUGEINT) * b.n AS w
+  FROM names a
+  JOIN names b ON a.p_brand = b.p_brand AND a.first_word = b.first_word
+              AND a.p_name < b.p_name
+  WHERE round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        / greatest(length(a.p_name), length(b.p_name)), 6) >= {_LINK_MIN_SIM}
+),
+same_w AS (
+  SELECT p_brand, first_word, CAST(n AS HUGEINT) * (n - 1) // 2 AS w
+  FROM names WHERE n > 1
+)
+SELECT p_brand, first_word, CAST(sum(w) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM cross_w UNION ALL SELECT * FROM same_w)
+GROUP BY p_brand, first_word
+"""
+
+QUERIES["part_name_linkage_counts"] = q_part_name_linkage_counts
+ORACLES["part_name_linkage_counts"] = _LINKAGE_COUNTS_ORACLE
+
+
 # --- LSH-banded fuzzy top-1 join (J3's 100 TB path) ----------------------
 
 

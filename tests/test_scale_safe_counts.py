@@ -1,0 +1,35 @@
+"""The scale-safe COUNT forms of the two sf10-excluded pair-listing
+queries (VERDICT r10 #3) must agree exactly with the listings they
+replace: same pairs, collapsed to keyed aggregates BEFORE the
+quadratic join so output (and oracle cost) stays bounded at sf10+."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.queries import relational, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_near_dup_counts_match_listing(spark):
+    listing = (
+        textops.q_doc_simhash_near_dups(spark, SF)
+        .groupBy("hamming").count()
+    )
+    counts = textops.q_doc_simhash_near_dup_counts(spark, SF)
+    got = {r["hamming"]: r["n_pairs"] for r in counts.collect()}
+    want = {r["hamming"]: r["count"] for r in listing.collect()}
+    assert got == want
+    assert counts.columns == ["hamming", "n_pairs"]
+
+
+def test_part_name_linkage_counts_match_listing_total(spark):
+    total_listing = relational.q_part_name_linkage(spark, SF).count()
+    counts = relational.q_part_name_linkage_counts(spark, SF)
+    total_counts = counts.agg(F.sum("n_pairs").alias("t")).collect()[0]["t"]
+    assert total_listing == total_counts
+    # every block key the listing could emit is a real (brand, word)
+    rows = counts.collect()
+    assert all(r["n_pairs"] > 0 for r in rows)
+    assert len(rows) == counts.select("p_brand", "first_word").distinct().count()

@@ -40,6 +40,10 @@ def main() -> int:
                     help="cache dir (default <sf_dir>/../oracle_cache/<sf name>)")
     ap.add_argument("--mem", default=os.environ.get("VERIFY_DUCKDB_MEM", "48GB"))
     ap.add_argument("--threads", default=os.environ.get("VERIFY_DUCKDB_THREADS", "8"))
+    ap.add_argument("--adopt-existing", action="store_true",
+                    help="write SOURCE.json for a pre-marker cache whose "
+                    "provenance you can vouch for (stage files present, "
+                    "built from this sf_dir); no stages are rebuilt")
     args = ap.parse_args()
 
     if os.environ.get(oe.ORACLE_STAGE_ENV):
@@ -52,6 +56,26 @@ def main() -> int:
         os.path.dirname(sf_dir), "oracle_cache", os.path.basename(sf_dir)
     )
     os.makedirs(cache, exist_ok=True)
+
+    # ADVICE r10 #1: bind the cache to its source data. A marker that
+    # disagrees with the current sf_dir means the parquet was
+    # regenerated since the stages were built — the SQL keys would
+    # still "hit", silently serving stale rows, so refuse instead.
+    marker = os.path.join(cache, oe.STAGE_MARKER)
+    have_stages = any(f.endswith(".parquet") for f in os.listdir(cache))
+    if os.path.exists(marker):
+        oe.check_stage_marker(cache, sf_dir)
+    elif have_stages and not args.adopt_existing:
+        print(
+            f"{cache} has stage parquet but no {oe.STAGE_MARKER}; "
+            "delete the cache and rebuild, or re-run with "
+            "--adopt-existing if you can vouch these stages were "
+            f"built from {sf_dir}"
+        )
+        return 2
+    if args.adopt_existing:
+        oe.write_stage_marker(cache, sf_dir)
+        print(f"adopted existing cache: wrote {marker}")
 
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{args.mem}'")
@@ -114,6 +138,7 @@ def main() -> int:
         con.execute(f"COPY ({from_cleaned}) TO '{tagged_path}' (FORMAT PARQUET)")
         print(f"tagged_charges: built in {time.time()-t0:.0f}s -> {tagged_path}")
 
+    oe.write_stage_marker(cache, sf_dir)
     print(f"export {oe.ORACLE_STAGE_ENV}={cache}")
     return 0
 

@@ -28,6 +28,7 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from clearcare_data_pipeline_spark.queries import _oracle_expr as oe  # noqa: E402
 from clearcare_data_pipeline_spark.schema import TESTDATA_TABLES  # noqa: E402
 from clearcare_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -197,10 +198,14 @@ _HASH_FLOAT_OK_DEFAULT = {
     "nation_revenue_share": "decimal sums; share divides identical pairs",
     "q14_promo_revenue_ratio": "decimal ratio",
 }
+# ADVICE r10 #2: the default allowlist applies only when the variable
+# is ABSENT; an explicitly empty value is the opt-out (no float-bearing
+# query hash-eligible), matching the pre-r10 semantics.
+_HASH_FLOAT_OK_RAW = os.environ.get("VERIFY_HASH_FLOAT_OK")
 _HASH_FLOAT_OK = (
-    set(os.environ["VERIFY_HASH_FLOAT_OK"].split(","))
-    if os.environ.get("VERIFY_HASH_FLOAT_OK")
-    else set(_HASH_FLOAT_OK_DEFAULT)
+    set(_HASH_FLOAT_OK_DEFAULT)
+    if _HASH_FLOAT_OK_RAW is None
+    else {s for s in _HASH_FLOAT_OK_RAW.split(",") if s}
 )
 _HASH_DIAG_MAX = int(os.environ.get("VERIFY_HASH_DIAG_MAX", "2000000"))
 
@@ -321,6 +326,14 @@ def main() -> int:
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+
+    # ADVICE r10 #1: the stage-cache key binds to the SQL, not the
+    # data — before any oracle runs, require the cache's SOURCE.json
+    # fingerprint to match the sf_dir under test (catches wrong-scale
+    # cache dirs and regenerated parquet as a hard error up front).
+    stage_dir = os.environ.get(oe.ORACLE_STAGE_ENV)
+    if stage_dir:
+        oe.check_stage_marker(stage_dir, sf_dir)
 
     def fresh_con():
         # One connection PER QUERY: DuckDB 1.0 pins buffer-manager blocks
