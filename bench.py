@@ -40,6 +40,14 @@ from clearcare_data_pipeline_spark.session import get_spark  # noqa: E402
 # times are ~10x sf0.1 so the median stabilizes with fewer repeats).
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+# Reference calibration time (seconds) for the machine-epoch
+# normalizer — pinned from the first artifact that carried
+# calibration_sec (round 11, this machine, otherwise idle). None
+# disables the normalized headline (raw-only artifact); it is set to
+# the measured value once, below, and then NEVER retuned — retuning
+# would silently re-baseline every cross-round comparison.
+CAL_REF_SEC: float | None = 1.667  # BENCH_local_r11.json, 2026-08-16
+
 # Newer operators benched under their own key so the headline total
 # stays comparable across rounds (BASELINE.md / BENCH_r01).
 #
@@ -339,6 +347,30 @@ def main() -> None:
     except Exception:
         pass
 
+    # Machine-epoch calibration (VERDICT r10 #6): sf0.1 round-over-round
+    # headline deltas drift ±30% with the machine-day (pinned twice by
+    # identical-code A/B re-runs, r9 and r10). This fixed, data-free,
+    # pure-codegen scan-agg measures TODAY's machine speed so the
+    # artifact can carry a normalized headline alongside the raw one:
+    # value_calibrated = value * CAL_REF_SEC / calibration_sec. The
+    # workload is shuffle-free whole-stage-codegen arithmetic over
+    # spark.range — no IO, no sf dependence, spread over all cores —
+    # so its runtime moves only with the machine epoch, not the code
+    # under test. Round-over-round tables should compare the
+    # CALIBRATED number; the raw number remains what BASELINE.md
+    # ratios use.
+    cal_runs = _time_runs(
+        # the inner modulo keeps the ANSI-mode sum far below 2^63
+        # (8e9 rows x <1e5 per row) while the per-row arithmetic still
+        # exercises codegen
+        lambda: spark.range(0, 8_000_000_000, 1, 64)
+        .selectExpr("sum((id * 3 + id % 7) % 100000) AS s", "count(1) AS n")
+        .collect(),
+        n=3,
+        spark=spark,
+    )
+    calibration_sec = round(statistics.median(cal_runs), 3)
+
     # Headline-only mode: cheap repeated runs for harness-attribution
     # experiments (VERDICT r7 #4) — skips EXTENDED and the skew demo.
     headline_only = bool(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"))
@@ -391,6 +423,16 @@ def main() -> None:
                 "queries": timings,
                 "spread": spreads,
                 "runs_per_query": N_RUNS,
+                "calibration_sec": calibration_sec,
+                **(
+                    {
+                        "value_calibrated": round(
+                            total * CAL_REF_SEC / calibration_sec, 3
+                        )
+                    }
+                    if CAL_REF_SEC and calibration_sec
+                    else {}
+                ),
                 "derivation_sec": derivation_warm,
                 "derivation_cold_sec": derivation_cold,
                 "extended": ext_timings,

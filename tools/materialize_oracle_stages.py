@@ -87,56 +87,50 @@ def main() -> int:
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    def build(name: str, path: str, select_sql: str) -> None:
+        """Crash-safe stage build: COPY to a pid-suffixed temp path,
+        then rename into place. COPY writes the keyed path directly
+        otherwise, so a build killed mid-write would leave a TRUNCATED
+        parquet that later runs skip as 'up to date' and consumers
+        splice in (r11 review finding); rename on the same filesystem
+        is atomic, so the keyed path either doesn't exist or is a
+        complete file."""
+        if os.path.exists(path):
+            print(f"{name}: up to date ({path})")
+            return
+        t0 = time.time()
+        tmp = f"{path}.building-{os.getpid()}"
+        try:
+            con.execute(f"COPY ({select_sql}) TO '{tmp}' (FORMAT PARQUET)")
+            os.rename(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        print(f"{name}: built in {time.time()-t0:.0f}s -> {path}")
+
     # Each stage is keyed by its CANONICAL self-contained SQL but BUILT
     # from the previous stage's parquet (the chain runs once total):
     # flagged = full derivation; cleaned = validate+dedup over flagged;
     # tagged = rule predicates over cleaned.
     flagged_path = oe.stage_path(cache, "flagged_charges", oe.flagged_stage_sql())
-    if os.path.exists(flagged_path):
-        print(f"flagged_charges: up to date ({flagged_path})")
-    else:
-        t0 = time.time()
-        con.execute(
-            f"COPY ({oe.materialize_ctes(oe.flagged_stage_sql())}) "
-            f"TO '{flagged_path}' (FORMAT PARQUET)"
-        )
-        print(f"flagged_charges: built in {time.time()-t0:.0f}s -> {flagged_path}")
+    build("flagged_charges", flagged_path,
+          oe.materialize_ctes(oe.flagged_stage_sql()))
 
     cleaned_path = oe.stage_path(cache, "cleaned_charges", oe.cleaned_stage_sql())
-    if os.path.exists(cleaned_path):
-        print(f"cleaned_charges: up to date ({cleaned_path})")
-    else:
-        t0 = time.time()
-        from_flagged = (
-            f"WITH flagged AS (SELECT * FROM read_parquet('{flagged_path}')),\n"
-            f"{oe._cleaned_suffix()} SELECT * FROM cleaned"
-        )
-        con.execute(f"COPY ({from_flagged}) TO '{cleaned_path}' (FORMAT PARQUET)")
-        print(f"cleaned_charges: built in {time.time()-t0:.0f}s -> {cleaned_path}")
+    build("cleaned_charges", cleaned_path,
+          f"WITH flagged AS (SELECT * FROM read_parquet('{flagged_path}')),\n"
+          f"{oe._cleaned_suffix()} SELECT * FROM cleaned")
 
     from clearcare_data_pipeline_spark.queries import extractors as ex
 
     for rel in ("raw_tall", "raw_wide", "raw_json"):
         sql = ex.extract_stage_sql(rel)
-        path = oe.stage_path(cache, rel, sql)
-        if os.path.exists(path):
-            print(f"{rel}: up to date ({path})")
-            continue
-        t0 = time.time()
-        con.execute(f"COPY ({oe.materialize_ctes(sql)}) TO '{path}' (FORMAT PARQUET)")
-        print(f"{rel}: built in {time.time()-t0:.0f}s -> {path}")
+        build(rel, oe.stage_path(cache, rel, sql), oe.materialize_ctes(sql))
 
     tagged_path = oe.stage_path(cache, "tagged_charges", oe.tagged_stage_sql())
-    if os.path.exists(tagged_path):
-        print(f"tagged_charges: up to date ({tagged_path})")
-    else:
-        t0 = time.time()
-        from_cleaned = (
-            f"WITH cleaned AS (SELECT * FROM read_parquet('{cleaned_path}')),\n"
-            f"{oe._tagged_suffix()} SELECT * FROM tagged"
-        )
-        con.execute(f"COPY ({from_cleaned}) TO '{tagged_path}' (FORMAT PARQUET)")
-        print(f"tagged_charges: built in {time.time()-t0:.0f}s -> {tagged_path}")
+    build("tagged_charges", tagged_path,
+          f"WITH cleaned AS (SELECT * FROM read_parquet('{cleaned_path}')),\n"
+          f"{oe._tagged_suffix()} SELECT * FROM tagged")
 
     oe.write_stage_marker(cache, sf_dir)
     print(f"export {oe.ORACLE_STAGE_ENV}={cache}")
