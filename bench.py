@@ -322,6 +322,30 @@ def main() -> None:
                     pass
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
+    # Machine-epoch calibration (VERDICT r10 #6): sf0.1 round-over-round
+    # headline deltas drift ±30% with the machine-day (pinned twice by
+    # identical-code A/B re-runs, r9 and r10). This fixed, data-free,
+    # pure-codegen scan-agg measures TODAY's machine speed so the
+    # artifact can carry a normalized headline alongside the raw one:
+    # value_calibrated = value * CAL_REF_SEC / calibration_sec. It runs
+    # HERE — right after JIT warmup, before any sf-sized work — because
+    # it must reflect the machine, not the session's accumulated heap:
+    # measured 2.98 s after an sf10 charges derivation vs 1.67 s clean
+    # (r11), so placement is load-bearing. Round-over-round tables
+    # should compare the CALIBRATED number; the raw number remains what
+    # BASELINE.md ratios use.
+    cal_runs = _time_runs(
+        # the inner modulo keeps the ANSI-mode sum far below 2^63
+        # (8e9 rows x <1e5 per row) while the per-row arithmetic still
+        # exercises codegen
+        lambda: spark.range(0, 8_000_000_000, 1, 64)
+        .selectExpr("sum((id * 3 + id % 7) % 100000) AS s", "count(1) AS n")
+        .collect(),
+        n=3,
+        spark=spark,
+    )
+    calibration_sec = round(statistics.median(cal_runs), 3)
+
     # The charges family shares a one-time derivation + parquet stage
     # checkpoint (sources/charges.py), persisted in a cross-process
     # content-keyed cache. Build it up front: cold = what this process
@@ -346,30 +370,6 @@ def main() -> None:
         derivation_warm = round(time.time() - t0, 3)
     except Exception:
         pass
-
-    # Machine-epoch calibration (VERDICT r10 #6): sf0.1 round-over-round
-    # headline deltas drift ±30% with the machine-day (pinned twice by
-    # identical-code A/B re-runs, r9 and r10). This fixed, data-free,
-    # pure-codegen scan-agg measures TODAY's machine speed so the
-    # artifact can carry a normalized headline alongside the raw one:
-    # value_calibrated = value * CAL_REF_SEC / calibration_sec. The
-    # workload is shuffle-free whole-stage-codegen arithmetic over
-    # spark.range — no IO, no sf dependence, spread over all cores —
-    # so its runtime moves only with the machine epoch, not the code
-    # under test. Round-over-round tables should compare the
-    # CALIBRATED number; the raw number remains what BASELINE.md
-    # ratios use.
-    cal_runs = _time_runs(
-        # the inner modulo keeps the ANSI-mode sum far below 2^63
-        # (8e9 rows x <1e5 per row) while the per-row arithmetic still
-        # exercises codegen
-        lambda: spark.range(0, 8_000_000_000, 1, 64)
-        .selectExpr("sum((id * 3 + id % 7) % 100000) AS s", "count(1) AS n")
-        .collect(),
-        n=3,
-        spark=spark,
-    )
-    calibration_sec = round(statistics.median(cal_runs), 3)
 
     # Headline-only mode: cheap repeated runs for harness-attribution
     # experiments (VERDICT r7 #4) — skips EXTENDED and the skew demo.

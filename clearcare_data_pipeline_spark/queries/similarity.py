@@ -584,11 +584,14 @@ def _recall_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clearcare_data_pipeline_spark.operators.similarity import (
-        dot_expr,
         lsh_banded_pairs,
+        probed_dot,
     )
 
     corpus = _recall_corpus(spark, sf_dir)
+    # the ground-truth scorer is O(probes x corpus) dot products — the
+    # r11 unrolled-dot fast path (bit-identical) applies here too
+    dot = probed_dot(corpus)
     found = lsh_banded_pairs(corpus, min_cosine=_MIN_COS, n_bands=_LSH_RECALL_BANDS)
     n = with_norm(corpus, "embedding")
     # fixed probe set (the planted noisy copies of ids < bound): the
@@ -603,7 +606,7 @@ def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = (
         cand.join(F.broadcast(probes), F.col("cid") != F.col("pid"))
         .where(
-            F.round(dot_expr(F.col("dvec"), F.col("pv")) / (F.col("norm") * F.col("pn")), 6)
+            F.round(dot(F.col("dvec"), F.col("pv")) / (F.col("norm") * F.col("pn")), 6)
             >= _MIN_COS
         )
         .select(F.least("pid", "cid").alias("a"), F.greatest("pid", "cid").alias("b"))
