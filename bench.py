@@ -46,7 +46,20 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 # disables the normalized headline (raw-only artifact); it is set to
 # the measured value once, below, and then NEVER retuned — retuning
 # would silently re-baseline every cross-round comparison.
+#
+# RE-PIN PROCEDURE (only when the FLEET MACHINE changes, never for
+# drift — drift is exactly what the normalizer corrects): (1) on the
+# new machine, idle, run `python bench.py` twice and confirm the two
+# calibration_sec medians agree within 5%; (2) set CAL_REF_SEC to the
+# first run's value and record machine + date in this comment; (3) from
+# then on, calibrated numbers are comparable only WITHIN the new epoch
+# — note the epoch break in the round's SCALING file. The printed
+# calibration_spread (below) is the in-run stability check: a spread
+# above CAL_SPREAD_SUSPECT of the median marks the whole artifact
+# suspect (calibration_unstable: true) because the normalizer itself
+# was moving while measuring.
 CAL_REF_SEC: float | None = 1.667  # BENCH_local_r11.json, 2026-08-16
+CAL_SPREAD_SUSPECT = 0.15
 
 # Newer operators benched under their own key so the headline total
 # stays comparable across rounds (BASELINE.md / BENCH_r01).
@@ -345,6 +358,13 @@ def main() -> None:
         spark=spark,
     )
     calibration_sec = round(statistics.median(cal_runs), 3)
+    # spread of the calibration runs themselves: if the machine-speed
+    # probe can't repeat within CAL_SPREAD_SUSPECT of its median, the
+    # normalizer is unreliable this run and the artifact says so
+    calibration_spread = round(max(cal_runs) - min(cal_runs), 3)
+    calibration_unstable = bool(
+        calibration_sec and calibration_spread > CAL_SPREAD_SUSPECT * calibration_sec
+    )
 
     # The charges family shares a one-time derivation + parquet stage
     # checkpoint (sources/charges.py), persisted in a cross-process
@@ -424,6 +444,8 @@ def main() -> None:
                 "spread": spreads,
                 "runs_per_query": N_RUNS,
                 "calibration_sec": calibration_sec,
+                "calibration_spread": calibration_spread,
+                **({"calibration_unstable": True} if calibration_unstable else {}),
                 **(
                     {
                         "value_calibrated": round(
@@ -446,6 +468,37 @@ def main() -> None:
                 "skew_demo": skew_demo,
                 "sf": sf,
                 **({"only_filter": sorted(only)} if only else {}),
+            }
+        )
+    )
+    # Compact contract-complete line printed LAST (VERDICT r11 #3):
+    # the driver keeps only the tail of stdout, and the full record
+    # above (~2.6 KB with spreads + extended timings) overflows that
+    # window, truncating its FRONT — BENCH_r10/r11.json recorded
+    # `parsed: null` with the raw headline value lost. This ~600-byte
+    # line carries every contract field (metric/value/unit/queries/sf)
+    # plus the calibration pair, so the driver's artifact is
+    # self-sufficient even when the full line is clipped.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "calibration_sec": calibration_sec,
+                "calibration_spread": calibration_spread,
+                **({"calibration_unstable": True} if calibration_unstable else {}),
+                **(
+                    {
+                        "value_calibrated": round(
+                            total * CAL_REF_SEC / calibration_sec, 3
+                        )
+                    }
+                    if CAL_REF_SEC and calibration_sec
+                    else {}
+                ),
+                "sf": sf,
             }
         )
     )

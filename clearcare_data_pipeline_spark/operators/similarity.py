@@ -141,13 +141,20 @@ def dot_expr_fixed(a: Column, b: Column, dim: int) -> Column:
 
 def probed_dot(df: DataFrame, vec_col: str = "embedding"):
     """The dot implementation a scorer should use for this corpus:
-    unrolled fixed-dim (codegen) when a bounded one-row probe finds a
-    codegen-sized dimension, the generic fold otherwise. One head(1)
-    job — the same bounded-probe discipline as cosine_topk's guard;
-    rows that don't match the probed dim still fall back per-row, so
-    the probe only PICKS the fast path, it never changes results."""
-    head = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
-    dim = int(head[0]["d"]) if head and head[0]["d"] is not None else 0
+    unrolled fixed-dim (codegen) when a bounded probe finds a
+    codegen-sized dimension, the generic fold otherwise. One bounded
+    agg job — null-skipping F.max over a LIMIT sample instead of
+    head(1) (ADVICE r11 #1: a null- or ragged-leading first row is
+    partition-order dependent and would nondeterministically lose the
+    fast path); rows that don't match the probed dim still fall back
+    per-row, so the probe only PICKS the fast path, it never changes
+    results."""
+    probe = (
+        df.limit(16)
+        .agg(F.max(F.size(F.col(vec_col))).alias("d"))
+        .collect()[0]
+    )
+    dim = int(probe["d"]) if probe["d"] is not None else 0
     if 1 <= dim <= DOT_UNROLL_MAX_DIM:
         return lambda x, y: dot_expr_fixed(x, y, dim)
     return dot_expr
@@ -558,6 +565,7 @@ def lsh_banded_pairs(
     id_col: str = "vec_id",
     n_bands: int = 4,
     planes_per_band: int = LSH_FLAT_PLANES,
+    dot=None,
 ) -> DataFrame:
     """OR-amplified near-dup pairs (VERDICT r8 #6): each vector gets
     ``n_bands`` independent hyperplane signatures (one per plane
@@ -579,9 +587,15 @@ def lsh_banded_pairs(
     the (small) scored-pair set. Bucket width within a band is
     unbounded like any fixed-plane scheme, so corpus-scale deployments
     should combine bands with the prefix ladder's leaf caps; this
-    operator is the recall lever, not the skew lever."""
+    operator is the recall lever, not the skew lever.
+
+    ``dot`` lets a caller that already probed the corpus dimension
+    thread its dot callable in (ADVICE r11 #3: emb_lsh_recall was
+    paying two identical probe jobs over the same lineage); None
+    probes here as before."""
     spark = df.sparkSession
-    dot = probed_dot(df)
+    if dot is None:
+        dot = probed_dot(df)
     mats = band_plane_matrices(n_bands, planes_per_band)
     pm = spark.createDataFrame([(mats,)], "pmats: array<array<array<double>>>")
     d = with_norm(df, "embedding").crossJoin(F.broadcast(pm))

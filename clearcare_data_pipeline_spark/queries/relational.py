@@ -577,9 +577,13 @@ def q_part_name_linkage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_l").cast("long") * F.col("n_r")).alias("w"),
         )
     )
+    # exact bigint arithmetic: n*(n-1) is always even, so DIV 2 is
+    # exact on longs up to 2^63, matching the oracle's HUGEINT // 2 —
+    # the double-division form was silently lossy past n*(n-1) >= 2^53
+    # (ADVICE r11 #2)
     same = names.where(F.col("n") > 1).select(
         "p_brand", "first_word",
-        (F.col("n").cast("long") * (F.col("n") - 1) / 2).cast("long").alias("w"),
+        F.expr("(CAST(n AS BIGINT) * (CAST(n AS BIGINT) - 1)) DIV 2").alias("w"),
     )
     return (
         cross.unionByName(same)

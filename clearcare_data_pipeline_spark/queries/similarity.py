@@ -592,7 +592,11 @@ def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ground-truth scorer is O(probes x corpus) dot products — the
     # r11 unrolled-dot fast path (bit-identical) applies here too
     dot = probed_dot(corpus)
-    found = lsh_banded_pairs(corpus, min_cosine=_MIN_COS, n_bands=_LSH_RECALL_BANDS)
+    # thread the probed dot in: one probe job per run, not two over
+    # the same corpus lineage (ADVICE r11 #3)
+    found = lsh_banded_pairs(
+        corpus, min_cosine=_MIN_COS, n_bands=_LSH_RECALL_BANDS, dot=dot
+    )
     n = with_norm(corpus, "embedding")
     # fixed probe set (the planted noisy copies of ids < bound): the
     # brute-force ground-truth half stays O(probes x corpus) — linear

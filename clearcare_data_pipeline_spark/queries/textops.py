@@ -402,9 +402,11 @@ def q_doc_simhash_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_a").cast("long") * F.col("n_b")).alias("w"),
         )
     )
+    # exact bigint DIV (n*(n-1) is even, so DIV 2 is exact up to
+    # 2^63), matching the oracle's HUGEINT // 2 — see ADVICE r11 #2
     same = cliques.where(F.col("n") > 1).select(
         F.lit(0).alias("hamming"),
-        (F.col("n").cast("long") * (F.col("n") - 1) / 2).cast("long").alias("w"),
+        F.expr("(CAST(n AS BIGINT) * (CAST(n AS BIGINT) - 1)) DIV 2").alias("w"),
     )
     return (
         cross.unionByName(same)

@@ -33,3 +33,34 @@ def test_part_name_linkage_counts_match_listing_total(spark):
     rows = counts.collect()
     assert all(r["n_pairs"] > 0 for r in rows)
     assert len(rows) == counts.select("p_brand", "first_word").distinct().count()
+
+
+def test_part_name_linkage_counts_match_listing_per_block(spark):
+    """Per-(p_brand, first_word) agreement, mirroring the per-hamming
+    check in the simhash test (ADVICE r11 #5): a block-attribution bug
+    (e.g. wrong group keys on the within-name branch) passes the
+    grand-total check but not this one. The listing doesn't carry the
+    block key, so recover it by joining left_id back to part — both
+    pair members share the block by construction of the join."""
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    part = load_table(spark, SF, "part").select(
+        F.col("p_partkey").alias("left_id"),
+        "p_brand",
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+    listing_blocks = (
+        relational.q_part_name_linkage(spark, SF)
+        .join(part, "left_id")
+        .groupBy("p_brand", "first_word")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    want = {
+        (r["p_brand"], r["first_word"]): r["n_pairs"]
+        for r in listing_blocks.collect()
+    }
+    got = {
+        (r["p_brand"], r["first_word"]): r["n_pairs"]
+        for r in relational.q_part_name_linkage_counts(spark, SF).collect()
+    }
+    assert got == want

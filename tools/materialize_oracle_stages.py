@@ -41,9 +41,12 @@ def main() -> int:
     ap.add_argument("--mem", default=os.environ.get("VERIFY_DUCKDB_MEM", "48GB"))
     ap.add_argument("--threads", default=os.environ.get("VERIFY_DUCKDB_THREADS", "8"))
     ap.add_argument("--adopt-existing", action="store_true",
-                    help="write SOURCE.json for a pre-marker cache whose "
+                    help="write SOURCE.json for an existing cache whose "
                     "provenance you can vouch for (stage files present, "
-                    "built from this sf_dir); no stages are rebuilt")
+                    "built from this sf_dir); no stages are rebuilt. "
+                    "OVERWRITES a mismatching marker with a loud warning "
+                    "— you are asserting the stage files themselves match "
+                    "the current sf_dir, not just re-binding stale stages")
     args = ap.parse_args()
 
     if os.environ.get(oe.ORACLE_STAGE_ENV):
@@ -63,8 +66,27 @@ def main() -> int:
     # still "hit", silently serving stale rows, so refuse instead.
     marker = os.path.join(cache, oe.STAGE_MARKER)
     have_stages = any(f.endswith(".parquet") for f in os.listdir(cache))
-    if os.path.exists(marker):
+    if os.path.exists(marker) and not args.adopt_existing:
         oe.check_stage_marker(cache, sf_dir)
+    elif os.path.exists(marker) and args.adopt_existing:
+        # ADVICE r11 #4: --adopt-existing previously hard-errored on a
+        # mismatching marker, so a cache could never be re-bound after
+        # intentional data regeneration without hand-deleting the
+        # marker. The flag is an operator attestation, so honor it —
+        # but LOUDLY, because re-binding stale stage files to fresh
+        # data is exactly the silent-wrong-rows hazard the marker
+        # exists to stop.
+        try:
+            oe.check_stage_marker(cache, sf_dir)
+        except ValueError:
+            print(
+                "WARNING: existing SOURCE.json does NOT match the "
+                f"current {sf_dir}; --adopt-existing will overwrite it. "
+                "You are attesting the stage parquet files were built "
+                "from the CURRENT data — if the data was regenerated "
+                "but the stages were not, delete the cache and rebuild "
+                "instead."
+            )
     elif have_stages and not args.adopt_existing:
         print(
             f"{cache} has stage parquet but no {oe.STAGE_MARKER}; "

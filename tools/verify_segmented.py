@@ -57,6 +57,10 @@ def main() -> int:
                     help="per-query fresh-process retries after the segment pass")
     ap.add_argument("--queries", nargs="*", default=None,
                     help="restrict to these queries (default: all)")
+    ap.add_argument("--exclude-scale-class", nargs="*", default=[],
+                    help="drop registry entries of these scale classes "
+                    "(e.g. quadratic_listing for sf10 gates); the set is "
+                    "derived from queries.scale_class(), not a hand list")
     ap.add_argument("--mem", default=os.environ.get("VERIFY_DUCKDB_MEM", "48GB"))
     ap.add_argument("--threads", default=os.environ.get("VERIFY_DUCKDB_THREADS", "6"))
     args = ap.parse_args()
@@ -70,6 +74,18 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}")
         return 2
+    if args.exclude_scale_class:
+        from clearcare_data_pipeline_spark.queries import scale_class
+
+        excl = set(args.exclude_scale_class)
+        kept = []
+        for n in names:
+            sc = scale_class(n)
+            if sc["class"] in excl:
+                print(f"excluded ({sc['class']}): {n} — {sc.get('receipt', '')[:120]}")
+            else:
+                kept.append(n)
+        names = kept
 
     env = dict(os.environ)
     # 48GB/6 threads: the sf1 charges + k-means oracles OOM at the
