@@ -1,0 +1,42 @@
+"""Alternating A/B: wide vs long Lloyd means in hierarchical_assign at
+sf10, one JVM, interleaved runs (the playbook's drift-proof pattern)."""
+import json, statistics, sys, time
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+
+import clearcare_data_pipeline_spark.operators.clustering as C
+from clearcare_data_pipeline_spark.queries.similarity import _emb, _NEAR_DUP_MOD, _SEMDEDUP_ITERS
+
+SF = ".localdata/sf10"
+vecs = _emb(spark, SF).select("vec_id", "embedding")
+copies = vecs.where(F.col("vec_id") % _NEAR_DUP_MOD == 0).withColumn(
+    "vec_id", F.col("vec_id") + 1000000)
+df = vecs.unionByName(copies)
+df.count()
+
+def run(max_dim):
+    C.MEANS_WIDE_MAX_DIM = max_dim
+    t0 = time.time()
+    a = C.hierarchical_assign(df, target_width=C.SEMDEDUP_TARGET_WIDTH,
+                              iters=_SEMDEDUP_ITERS)
+    n = a.count()
+    return round(time.time() - t0, 2), n
+
+# warmup one of each
+run(256); run(0)
+wide, long_ = [], []
+for _ in range(3):
+    wide.append(run(256)[0])
+    long_.append(run(0)[0])
+out = {"wide_runs": wide, "long_runs": long_,
+       "wide_median": statistics.median(wide), "long_median": statistics.median(long_)}
+print(json.dumps(out))
+with open(".r12state/hier_ab_sf10.json", "w") as f:
+    json.dump(out, f, indent=1)
+spark.stop()

@@ -27,6 +27,18 @@ from clearcare_data_pipeline_spark.operators.similarity import as_double_vec
 
 _SUM_DEC = "decimal(27,10)"
 
+# Lloyd means stay in the posexplode LONG format everywhere, by
+# measurement (r12): a WIDE alternative (one groupBy carrying `dim`
+# DECIMAL getItem-sum columns, value-identical by the exactness of
+# DECIMAL partial sums) was built and A/B'd alternating in one JVM at
+# sf10 — and LOST at both shapes: hierarchical exchange 39.6 s wide vs
+# 32.3 s long (.r12state/hier_ab_sf10.json), flat k=4 fit 20.3 s wide
+# vs 7.1 s long (.r12state/kmeans_ab_sf10.json). The n*dim narrow-row
+# explode through Tungsten beats 64 per-group decimal aggregates with
+# their per-row getItem casts, so the constant-plan long format is
+# both the scalable AND the fast choice — do not re-try wide without
+# a new measurement.
+
 
 def _dists_expr(dvec: Column, centroids: list[list[float]]) -> Column:
     cent_lit = F.array(*[F.array(*[F.lit(float(w)) for w in c]) for c in centroids])
@@ -134,9 +146,9 @@ def kmeans_fit(
             # Per-dimension means via posexplode + (cluster, pos) agg:
             # ONE sum/count pair instead of `dim` separate aggregate
             # columns, so the expression tree (and per-iteration plan
-            # compilation) is constant-size in the vector dimension.
-            # Values are identical: the same DECIMAL partial sums, just
-            # keyed long-format instead of wide.
+            # compilation) is constant-size in the vector dimension —
+            # and the measured-faster format (see the r12 A/B note at
+            # the top of this module).
             rows = (
                 assigned.select("cluster", F.posexplode("dvec").alias("pos", "v"))
                 .groupBy("cluster", "pos")
@@ -277,6 +289,8 @@ def hierarchical_assign(
     if exchange not in ("auto", "driver", "join"):
         raise ValueError(f"exchange must be auto|driver|join, got {exchange!r}")
 
+    import time as _time
+
     base = df.select(
         F.col(id_col).alias("_hid"), as_double_vec(F.col(vec_col)).alias("dvec")
     ).persist()
@@ -298,6 +312,7 @@ def hierarchical_assign(
             # without collecting ids. The driver exchange still needs
             # the id list, but only runs when n_split*branch is under
             # HIER_DRIVER_CENTROID_CAP — a bounded collect.
+            t_level = _time.time()
             split_df = (
                 cur.groupBy("cluster")
                 .count()
@@ -305,6 +320,7 @@ def hierarchical_assign(
                 .select("cluster")
             )
             n_split = split_df.count()
+            t_split = _time.time()
             if n_split == 0:
                 # The fixed-depth oracle replay re-encodes ids by `enc`
                 # at EVERY level, including no-op ones — apply the
@@ -343,6 +359,7 @@ def hierarchical_assign(
                 else:
                     split_ids = sorted(r["cluster"] for r in split_df.collect())
                     final_sub = _split_level_driver(work, split_ids, branch, iters)
+                t_exchange = _time.time()
                 cur = (
                     cur.join(final_sub, "_hid", "left")
                     .select(
@@ -354,6 +371,18 @@ def hierarchical_assign(
                     )
                     .localCheckpoint(eager=True)
                 )
+                if stats is not None:
+                    # phase timers for scale attribution (r12): the
+                    # exchange's lazy tail materializes inside the
+                    # checkpoint, so exchange_sec covers only its
+                    # forced driver work (init collect + Lloyd means)
+                    stats.setdefault("level_timings", []).append({
+                        "n_split": n_split,
+                        "exchange": "join" if use_join else "driver",
+                        "split_count_sec": round(t_split - t_level, 2),
+                        "exchange_sec": round(t_exchange - t_split, 2),
+                        "checkpoint_sec": round(_time.time() - t_exchange, 2),
+                    })
             finally:
                 work.unpersist()
         if stats is not None:
@@ -617,9 +646,15 @@ def semantic_dedup(
     unconditionally.
     """
     from clearcare_data_pipeline_spark.operators.similarity import (
-        cosine_expr,
+        probed_dot,
         with_norm,
     )
+
+    # the within-cluster pairwise scorer is the dot-heavy stage (r12
+    # sf10 attribution); the probed unrolled dot (bit-identical to the
+    # fold — see dot_expr_fixed's IEEE argument and the r11 digest A/B)
+    # moves it into whole-stage codegen. One bounded probe job.
+    dot = probed_dot(df, vec_col)
 
     if k is None:
         # O(cap) branch probe (VERDICT r8 #4a): LIMIT flat_max_n+1
@@ -681,9 +716,8 @@ def semantic_dedup(
             .where(F.col("_a_id") < F.col("_b_id"))
             .where(
                 F.round(
-                    cosine_expr(
-                        F.col("_a_vec"), F.col("_b_vec"), F.col("_a_norm"), F.col("_b_norm")
-                    ),
+                    dot(F.col("_a_vec"), F.col("_b_vec"))
+                    / (F.col("_a_norm") * F.col("_b_norm")),
                     6,
                 )
                 >= threshold
