@@ -61,6 +61,41 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 CAL_REF_SEC: float | None = 1.667  # BENCH_local_r11.json, 2026-08-16
 CAL_SPREAD_SUSPECT = 0.15
 
+# The driver's artifact keeps roughly this many tail characters of
+# stdout; the compact record must fit WELL inside it so the full
+# line's clipped remainder can share the window (pinned by pytest).
+DRIVER_TAIL_CHARS = 2000
+
+
+def compact_record(
+    total: float,
+    timings: dict[str, float],
+    calibration_sec: float,
+    calibration_spread: float,
+    calibration_unstable: bool,
+    sf: float,
+) -> dict:
+    """The tail-truncation-proof record printed as the LAST stdout
+    line (VERDICT r11 #3): every driver-contract field (metric /
+    value / unit / queries / sf) plus the calibration pair, nothing
+    bulky — so a capture window that clips the full first line still
+    contains one complete parseable record."""
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "calibration_sec": calibration_sec,
+        "calibration_spread": calibration_spread,
+        **({"calibration_unstable": True} if calibration_unstable else {}),
+        **(
+            {"value_calibrated": round(total * CAL_REF_SEC / calibration_sec, 3)}
+            if CAL_REF_SEC and calibration_sec
+            else {}
+        ),
+        "sf": sf,
+    }
+
 # Newer operators benched under their own key so the headline total
 # stays comparable across rounds (BASELINE.md / BENCH_r01).
 #
@@ -481,25 +516,10 @@ def main() -> None:
     # self-sufficient even when the full line is clipped.
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "calibration_sec": calibration_sec,
-                "calibration_spread": calibration_spread,
-                **({"calibration_unstable": True} if calibration_unstable else {}),
-                **(
-                    {
-                        "value_calibrated": round(
-                            total * CAL_REF_SEC / calibration_sec, 3
-                        )
-                    }
-                    if CAL_REF_SEC and calibration_sec
-                    else {}
-                ),
-                "sf": sf,
-            }
+            compact_record(
+                total, timings, calibration_sec, calibration_spread,
+                calibration_unstable, sf,
+            )
         )
     )
     # Explicit stop so the JVM exits with this process — a lingering

@@ -21,8 +21,12 @@ import sys
 
 
 def load(path: str) -> dict:
+    # bench.py emits TWO JSON lines since r12 (the full record, then a
+    # compact tail-truncation-proof one) — take the FIRST, which
+    # carries spreads + extended timings; json.load would choke on the
+    # concatenation
     with open(path) as f:
-        doc = json.load(f)
+        doc = json.loads(f.readline())
     merged = dict(doc.get("queries", {}))
     merged.update(doc.get("extended", {}))
     merged["_derivation_cold"] = doc.get("derivation_cold_sec", 0.0)
