@@ -1,3 +1,10 @@
+"""PROVENANCE NOTE (post-run): this A/B ran on the r12 working tree
+WHERE THE WIDE-MEANS CODE STILL EXISTED (between commits 82f3643^ and
+its revert); it monkeypatches clustering.MEANS_WIDE_MAX_DIM, which was
+REMOVED after the measurement decided against the wide path — so this
+script is a frozen receipt, not re-runnable on HEAD. To reproduce,
+reintroduce the wide/long crossover from the commit history or re-create
+it from the numbers pinned at the top of operators/clustering.py."""
 """Alternating A/B: wide vs long Lloyd means in flat kmeans_fit at sf10
 (k=4, iters=3 — the emb_kmeans_clusters shape)."""
 import json, statistics, sys, time
