@@ -1,4 +1,8 @@
 #!/bin/sh
+# HISTORICAL RECEIPT (frozen as-run for rounds 9/10): superseded by
+# tools/sf10_gate_r12.sh, which derives the runnable set from the
+# machine-readable scale-class registry (queries.scale_class) instead
+# of the hand-written lists below. Do not reuse this script.
 # Round-9 sf10 gate. Preserved from r8 (code + oracle byte-identical,
 # checked against the ab779fc tree): charges_rule_counts,
 # charges_score, emb_ann_recall, doc_near_dup_clusters. Re-run:

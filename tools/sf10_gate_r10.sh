@@ -1,4 +1,8 @@
 #!/bin/sh
+# HISTORICAL RECEIPT (frozen as-run for rounds 9/10): superseded by
+# tools/sf10_gate_r12.sh, which derives the runnable set from the
+# machine-readable scale-class registry (queries.scale_class) instead
+# of the hand-written lists below. Do not reuse this script.
 # Round-10 sf10 gate (VERDICT r9 #1: broaden past the r9 33-query
 # subset). Strategy:
 #   0. build the oracle-side stage cache (VERDICT r9 #2) — the
