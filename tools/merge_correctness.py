@@ -1,22 +1,51 @@
-"""Merge per-segment / per-run correctness artifacts into one.
+"""Merge per-segment / per-run correctness artifacts into one,
+machine-checking that every entry is still valid on the current tree.
 
 verify_segmented.py stitches within a single invocation, but a gate
-that spans invocations (e.g. the sf10 run that survived a round
-boundary: 7 preserved segment files from the first launch plus a
-fresh-process re-run of the queries that were killed mid-flight)
-needs an explicit merge. Later inputs win on overlapping query names,
-so pass the authoritative re-run LAST. Counts are recomputed from the
-merged map — never trusted from the inputs.
+that spans invocations (e.g. an sf10 run that preserves last round's
+entries and fresh-runs only the queries whose code changed) needs an
+explicit merge. Later inputs win on overlapping query names, so pass
+the authoritative re-run LAST. Counts are recomputed from the merged
+map — never trusted from the inputs.
+
+Provenance check (round 12). Every entry written by verify_local
+carries ``code_hash`` — the digest of the query's package code
+closure (clearcare_data_pipeline_spark/provenance.py). This merge
+recomputes each query's hash on the CURRENT tree and refuses to emit
+an artifact containing an entry whose recorded hash no longer
+matches: a preserved "pass" for code that may no longer produce it.
+Previously that judgment was a human reading the round's diff and
+writing a prose note; now the default is machine-checked, and the two
+escape hatches turn residual human judgment into recorded,
+per-entry attestations instead of silence:
+
+* ``--waive NAME=reason`` — "this entry IS valid on the current tree
+  even though its closure bytes changed" (e.g. a comment-only edit,
+  or an operator change behind a default the query doesn't take).
+  The reason is stored in the entry as ``provenance_waiver`` next to
+  BOTH hashes (``code_hash`` becomes the current one — the waiver
+  asserts validity for the current tree; ``code_hash_at_run`` keeps
+  what the gate actually ran), so a reviewer can hold the text
+  against the diff.
+* ``--allow-unhashed`` — accept entries with no recorded hash
+  (artifacts predating r12); each is marked ``provenance:
+  "unhashed"`` so the gap stays visible instead of laundering into a
+  checked artifact.
+
+``--no-check-provenance`` skips the whole check — for reproducing
+historical merges only; new gate scripts must not use it.
 
 Usage:
-  python tools/merge_correctness.py --out CORRECTNESS_SF10_r08.json \
-      --note "..." .r8state/seg_*.json .r8state/sf10_remaining.json
+  python tools/merge_correctness.py --out CORRECTNESS_SF10_r13.json \
+      --note "..." CORRECTNESS_SF10_r12.json .r13state/sf10_changed.json \
+      --waive doc_stats="comment-only edit to textops.py:12 (see diff)"
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 
 def main() -> int:
@@ -24,7 +53,24 @@ def main() -> int:
     ap.add_argument("inputs", nargs="+")
     ap.add_argument("--out", required=True)
     ap.add_argument("--note", default=None)
+    ap.add_argument("--waive", action="append", default=[], metavar="NAME=REASON",
+                    help="attest a hash-stale entry is valid on the current "
+                    "tree; reason is recorded in the entry")
+    ap.add_argument("--allow-unhashed", action="store_true",
+                    help="accept entries with no recorded code_hash "
+                    "(pre-r12 artifacts); marked in the output")
+    ap.add_argument("--no-check-provenance", action="store_true",
+                    help="skip the code-hash check (historical replays only)")
     args = ap.parse_args()
+
+    waivers: dict[str, str] = {}
+    for w in args.waive:
+        if "=" not in w:
+            ap.error(f"--waive wants NAME=REASON, got {w!r}")
+        name, reason = w.split("=", 1)
+        if not reason.strip():
+            ap.error(f"--waive {name}: empty reason — the reason IS the record")
+        waivers[name] = reason.strip()
 
     queries: dict[str, dict] = {}
     sf_dir = None
@@ -33,6 +79,61 @@ def main() -> int:
             doc = json.load(f)
         sf_dir = doc.get("sf_dir") or sf_dir
         queries.update(doc.get("queries", {}))
+
+    provenance_block: dict | None = None
+    if not args.no_check_provenance:
+        sys.path.insert(0, ".")
+        from clearcare_data_pipeline_spark.provenance import query_code_hashes
+
+        try:
+            current = query_code_hashes(list(queries))
+        except KeyError as e:
+            print(f"provenance: merged entry is not in the current registry: {e}")
+            return 2
+        stale, unhashed, waived_ok, matched = [], [], [], 0
+        for name, entry in queries.items():
+            recorded = entry.get("code_hash")
+            if name in waivers:
+                entry["code_hash_at_run"] = recorded
+                entry["code_hash"] = current[name]
+                entry["provenance_waiver"] = waivers[name]
+                waived_ok.append(name)
+            elif recorded is None:
+                if args.allow_unhashed:
+                    entry["provenance"] = "unhashed"
+                unhashed.append(name)
+            elif recorded != current[name]:
+                stale.append(name)
+            else:
+                matched += 1
+        unused = sorted(set(waivers) - set(queries))
+        if unused:
+            print(f"provenance: --waive names not in the merge: {unused}")
+            return 2
+        if stale:
+            print("provenance: REFUSING — these entries' code closures "
+                  "changed since their gate run (re-run them, or --waive "
+                  "with the argument a reviewer can check):")
+            for n in sorted(stale):
+                print(f"  {n}: recorded {queries[n].get('code_hash')} "
+                      f"!= current {current[n]}")
+            return 2
+        if unhashed and not args.allow_unhashed:
+            print("provenance: REFUSING — these entries carry no code_hash "
+                  f"(pre-r12 artifact?): {sorted(unhashed)}\n"
+                  "re-run them, or pass --allow-unhashed to keep them "
+                  "visibly marked")
+            return 2
+        provenance_block = {
+            "checked": True,
+            "matched": matched,
+            "waived": sorted(waived_ok),
+            "unhashed": sorted(unhashed),
+        }
+        print(f"provenance: {matched} matched, {len(waived_ok)} waived, "
+              f"{len(unhashed)} unhashed-allowed")
+    elif waivers:
+        ap.error("--waive without provenance checking makes no attestation")
 
     statuses = [v.get("status") for v in queries.values()]
     out = {
@@ -43,6 +144,8 @@ def main() -> int:
         "merged_from": args.inputs,
         "queries": queries,
     }
+    if provenance_block is not None:
+        out["provenance"] = provenance_block
     if args.note:
         out["note"] = args.note
     with open(args.out, "w") as f:

@@ -1,4 +1,14 @@
 #!/bin/sh
+# FROZEN HISTORICAL RECEIPT — ran once on b674cc0 to produce
+# CORRECTNESS_SF10_r12.json; not re-runnable on HEAD. Later in r12,
+# merge_correctness.py gained a default-on code-hash provenance check
+# (clearcare_data_pipeline_spark/provenance.py) and the artifact was
+# backfilled with per-entry hashes/waivers
+# (.r12state/backfill_provenance_r12.py), so this script's merge call
+# would now refuse the unhashed r11 input. Future gates: verify_local
+# stamps hashes natively; preserve-merges list the prior artifact plus
+# fresh runs and let the check name what must re-run or be --waive'd.
+#
 # sf10 gate, round 12. Fresh-runs ONLY the queries whose executed sf10
 # code paths changed this round; every other entry is preserved
 # byte-identical from CORRECTNESS_SF10_r11.json (code-path provenance

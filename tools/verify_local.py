@@ -317,6 +317,27 @@ def duck_hash_agg(con, sql: str, dtypes: list[tuple[str, str]]) -> tuple[int, in
     return int(n), int(s), cols
 
 
+def _git_state() -> dict | None:
+    """HEAD sha + whether the PACKAGE tree is dirty — artifact context
+    for the provenance hashes (a dirty package means the hashes bind
+    to uncommitted bytes; the merge check still works, but the sha
+    alone won't reproduce them)."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain",
+             "clearcare_data_pipeline_spark", "__spark_entry__.py"],
+            capture_output=True, text=True,
+        ).stdout.strip())
+        return {"head": head, "package_dirty": dirty} if head else None
+    except Exception:
+        return None
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     out_path = None
@@ -456,6 +477,15 @@ def main() -> int:
 
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
     if out_path:
+        # r12 provenance: bind each entry to the digest of its query's
+        # package code closure, so cross-round merges can machine-check
+        # which preserved entries are still valid on the current tree
+        # (tools/merge_correctness.py refuses stale ones unless waived)
+        from clearcare_data_pipeline_spark.provenance import query_code_hashes
+
+        hashes = query_code_hashes(list(results))
+        for name, entry in results.items():
+            entry["code_hash"] = hashes[name]
         with open(out_path, "w") as f:
             json.dump(
                 {
@@ -463,6 +493,7 @@ def main() -> int:
                     "passed": len(passed),
                     "failed": len(failed),
                     "rows_only": len(rows_only),
+                    "git": _git_state(),
                     "queries": results,
                 },
                 f,

@@ -48,6 +48,24 @@ def run_verify(sf_dir: str, names: list[str], out: str, env: dict) -> dict:
         return json.load(f).get("queries", {})
 
 
+def _git_state() -> dict | None:
+    """Same artifact context verify_local records (HEAD + package
+    dirtiness) — the stitched doc should carry it even though its
+    entries came from subprocesses."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain",
+             "clearcare_data_pipeline_spark", "__spark_entry__.py"],
+            capture_output=True, text=True,
+        ).stdout.strip())
+        return {"head": head, "package_dirty": dirty} if head else None
+    except Exception:
+        return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -121,6 +139,7 @@ def main() -> int:
         "passed": sum(s["status"] == "pass" for s in statuses),
         "failed": sum(s["status"] not in ("pass", "rows_only") for s in statuses),
         "rows_only": sum(s["status"] == "rows_only" for s in statuses),
+        "git": _git_state(),
         "queries": {n: results.get(n, {"status": "fail", "err": "no result (process crash)"})
                     for n in names},
     }
