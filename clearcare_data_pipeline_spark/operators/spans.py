@@ -1,0 +1,116 @@
+"""Inter-document duplicated-span coverage (round 12).
+
+The exact-substring dedup signal from "Deduplicating Training Data
+Makes Language Models Better" (Lee et al., 2022 — public paper), at
+fixed n-gram resolution so it distributes: a token position is
+"duplicated" when the n-gram starting there also appears in at least
+``min_docs - 1`` OTHER documents; a document's duplicated-span
+coverage is the fraction of its tokens inside the union of those
+n-gram windows. Training pipelines drop or trim documents whose
+coverage exceeds a threshold — this operator computes the signal, it
+does not decide the policy.
+
+Why fixed-n instead of the paper's suffix array: a suffix array is a
+global sequential structure (the paper builds it on one machine over
+a concatenated corpus); fixed-n loses maximal-match lengths but every
+stage becomes a keyed DataFrame op, which is the 100 TB shape:
+
+  tokens -> positional n-grams (per-row array expr, no shuffle)
+         -> md5 gram keys (32-byte keys instead of n-token strings)
+         -> duplicated grams: ONE keyed agg (count distinct docs)
+         -> hits: ONE keyed equi-join back
+         -> coverage: per-doc window (gap-and-island union of
+            fixed-length intervals), ONE partition-by-doc sort
+
+Every stage is linear in corpus token count. Unlike the
+contamination pair join (operators/dedup.py cross_corpus_
+contamination), a hub n-gram appearing in millions of documents
+costs its OCCURRENCE count here, never occurrences² — there is no
+pair enumeration, so no max_df cap is needed for safety.
+
+Reference basis: the reference repo has no corpus-dedup analytics at
+all (757-line single-node pandas ETL); this is beyond-reference
+surface for the LLM-pipeline family, same as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.textstats import words_expr
+
+DUP_SPAN_N = 8       # matches the decontamination shingle width
+DUP_SPAN_MIN_DOCS = 2
+
+
+def positional_grams(
+    df: DataFrame,
+    n: int = DUP_SPAN_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, pos, g): md5 of the n-token gram starting at
+    0-based token ``pos``, one row per position — positions are the
+    point of this operator, so no array_distinct (contrast
+    dedup.shingles_expr, which dedups because set-membership is all
+    MinHash needs). Tokens are staged in their own projection first —
+    Catalyst does not hoist lambda-invariant subtrees, so an inline
+    split would re-tokenize once per position (r7 lesson, see
+    shingles_expr). Docs shorter than n tokens emit nothing: they
+    cannot contain a duplicated n-span."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), words_expr(F.col(text_col)).alias("_toks")
+    ).select("doc_id", "_toks", F.size("_toks").alias("n_tokens"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice("_toks", i + 1, n), " ")).alias("g"),
+        ),
+    )
+    return (
+        staged.where(F.col("n_tokens") >= n)
+        .select("doc_id", "n_tokens", F.explode(grams).alias("pg"))
+        .select("doc_id", "n_tokens", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    n: int = DUP_SPAN_N,
+    min_docs: int = DUP_SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span coverage: (doc_id, n_tokens,
+    dup_positions, covered_tokens) for documents with at least one
+    inter-document duplicated n-gram; covered_tokens is the size of
+    the UNION of the n-token windows at duplicated positions.
+
+    The union is gap-and-islands over sorted positions: each
+    duplicated position covers min(n, next_pos - pos) new tokens
+    (n for the last one) — fixed-length intervals make the classic
+    island scan a single lead() window, no iterative merging.
+
+    ``min_docs`` counts DISTINCT documents: an n-gram repeated only
+    within one document is intra-doc repetition (doc_repetition_stats'
+    signal), not corpus duplication."""
+    grams = positional_grams(df, n, id_col, text_col)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "n_tokens", "pos")
+    nxt = F.lead("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+    covered = hits.select(
+        "doc_id",
+        "n_tokens",
+        F.least(F.lit(n), F.coalesce(nxt - F.col("pos"), F.lit(n))).alias("cov"),
+    )
+    return covered.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("dup_positions"),
+        F.sum("cov").cast("long").alias("covered_tokens"),
+    )

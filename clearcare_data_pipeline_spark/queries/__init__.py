@@ -86,13 +86,14 @@ def all_queries() -> dict[str, QueryFn]:
         stats,
         textops,
         textops2,
+        textops3,
         tpch_extra,
         tpch_extra2,
         tpch_extra3,
     )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, tpch_extra, tpch_extra2, tpch_extra3, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
+    for mod in (relational, tpch_extra, tpch_extra2, tpch_extra3, advanced, stats, charges, textops, textops2, textops3, similarity, eventsops, extractors):
         out.update(mod.QUERIES)
     return out
 
@@ -108,12 +109,13 @@ def all_oracles() -> dict[str, str]:
         stats,
         textops,
         textops2,
+        textops3,
         tpch_extra,
         tpch_extra2,
         tpch_extra3,
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, tpch_extra, tpch_extra2, tpch_extra3, advanced, stats, charges, textops, textops2, similarity, eventsops, extractors):
+    for mod in (relational, tpch_extra, tpch_extra2, tpch_extra3, advanced, stats, charges, textops, textops2, textops3, similarity, eventsops, extractors):
         out.update(mod.ORACLES)
     return out

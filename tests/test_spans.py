@@ -1,0 +1,132 @@
+"""duplicated_span_coverage semantics (operators/spans.py) on
+constructed corpora: interval union, the distinct-doc rule, short-doc
+emission, and agreement with a brute-force per-token oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clearcare_data_pipeline_spark.operators.spans import (
+    duplicated_span_coverage,
+    positional_grams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: string, text: string")
+
+
+def _tokens(text):
+    return [t for t in text.strip().split() if t]
+
+
+def _brute_coverage(rows, n=8, min_docs=2):
+    """Per-token oracle: mark every token index inside any n-window
+    whose n-gram appears in >= min_docs distinct docs."""
+    grams = {}
+    toks = {d: _tokens(t) for d, t in rows}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[i:i + n]), set()).add(d)
+    out = {}
+    for d, ts in toks.items():
+        covered, positions = set(), 0
+        for i in range(len(ts) - n + 1):
+            if len(grams[" ".join(ts[i:i + n])]) >= min_docs:
+                positions += 1
+                covered.update(range(i, i + n))
+        if positions:
+            out[d] = (len(ts), positions, len(covered))
+    return out
+
+
+def _run(spark, rows, n=8, min_docs=2):
+    got = duplicated_span_coverage(_docs(spark, rows), n=n, min_docs=min_docs).collect()
+    return {r["doc_id"]: (r["n_tokens"], r["dup_positions"], r["covered_tokens"])
+            for r in got}
+
+
+WORDS = "w%d"
+
+
+def _text(idxs):
+    return " ".join(WORDS % i for i in idxs)
+
+
+def test_shared_span_coverage_and_island_union(spark):
+    # doc a and doc b share tokens 0..9 (three overlapping 8-grams in
+    # each); the union of windows [0,8) [1,9) [2,10) is 10 tokens
+    shared = list(range(10))
+    rows = [
+        ("a", _text(shared + [100, 101, 102])),
+        ("b", _text([200, 201] + shared)),
+    ]
+    got = _run(spark, rows)
+    assert got == _brute_coverage(rows)
+    assert got["a"] == (13, 3, 10)
+    assert got["b"] == (12, 3, 10)
+
+
+def test_disjoint_islands_do_not_merge(spark):
+    # two shared 8-spans separated by unique filler: coverage is 16,
+    # not a merged 8+gap+8 span
+    s1, s2 = list(range(8)), list(range(50, 58))
+    rows = [
+        ("a", _text(s1 + [300 + i for i in range(5)] + s2)),
+        ("b", _text(s1 + [400 + i for i in range(9)] + s2)),
+    ]
+    got = _run(spark, rows)
+    assert got == _brute_coverage(rows)
+    assert got["a"][2] == 16
+    assert got["b"][2] == 16
+
+
+def test_intra_doc_repetition_is_not_corpus_duplication(spark):
+    # doc repeats its own 8-gram twice but shares nothing with others:
+    # min_docs counts DISTINCT docs, so no row for it
+    span = list(range(8))
+    rows = [
+        ("self_rep", _text(span + [500] + span)),
+        ("other", _text(range(600, 620))),
+    ]
+    got = _run(spark, rows)
+    assert got == {}
+    assert got == _brute_coverage(rows)
+
+
+def test_short_docs_emit_no_grams(spark):
+    rows = [("tiny", _text(range(7))), ("tiny2", _text(range(7)))]
+    assert positional_grams(_docs(spark, rows)).count() == 0
+    assert _run(spark, rows) == {}
+
+
+def test_identical_docs_fully_covered(spark):
+    body = list(range(20))
+    rows = [("a", _text(body)), ("b", _text(body)), ("c", _text(range(700, 730)))]
+    got = _run(spark, rows)
+    assert got == _brute_coverage(rows)
+    # 13 positions, union covers all 20 tokens
+    assert got["a"] == (20, 13, 20)
+    assert got["b"] == (20, 13, 20)
+    assert "c" not in got
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_corpus_matches_brute_oracle(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = 40  # small vocabulary so 8-gram collisions actually occur
+    rows = []
+    for d in range(12):
+        n = rng.randint(5, 60)
+        rows.append((f"d{d}", _text(rng.randrange(vocab) for _ in range(n))))
+    # plant one guaranteed shared span
+    shared = [rng.randrange(vocab) for _ in range(9)]
+    rows.append(("p1", _text(shared)))
+    rows.append(("p2", _text([39] + shared + [38])))
+    got = _run(spark, rows)
+    want = _brute_coverage(rows)
+    assert got == want
+    assert "p1" in got and "p2" in got
