@@ -128,6 +128,9 @@ EXTENDED = EXTENDED_CORE + [
     # r7 additions (VERDICT r6 #4): the text->vector->ANN composition
     "doc_hashed_tf",
     "doc_tf_cosine_topk",
+    # r12 addition: exact-substring dedup signal (per-source rollup —
+    # exercises the full gram/dedup/window pipeline with tiny output)
+    "doc_dup_span_stats",
 ]
 
 HEADLINE = [
