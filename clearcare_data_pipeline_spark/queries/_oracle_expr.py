@@ -15,7 +15,6 @@ two sides cannot drift independently. Dialect notes:
 from __future__ import annotations
 
 from clearcare_data_pipeline_spark.schema import (
-    ALGORITHM_INVALID_REGEX,
     CANONICAL_COLUMNS,
     CODE_FORMAT_REGEX,
     CODE_TYPE_NORMALIZATION,
@@ -27,6 +26,7 @@ from clearcare_data_pipeline_spark.schema import (
     PRICE_PLACEHOLDER,
     TEXT_FIELDS,
 )
+from clearcare_data_pipeline_spark.queries._textsql import ALGORITHM_INVALID_RE2
 from clearcare_data_pipeline_spark.sources.charges import charges_sql
 
 
@@ -72,7 +72,10 @@ def code_type_norm_sql(col: str) -> str:
 
 
 def algorithm_invalid_sql(col: str) -> str:
-    return f"coalesce(regexp_matches({col}, '{ALGORITHM_INVALID_REGEX}'), FALSE)"
+    # explicit Java-\s class (r12): the Spark side runs
+    # schema.ALGORITHM_INVALID_REGEX through Java rlike, where \s
+    # includes U+000B; RE2's \s does not — see queries/_textsql.py
+    return f"coalesce(regexp_matches({col}, '{ALGORITHM_INVALID_RE2}'), FALSE)"
 
 
 def code_format_valid_sql(code: str = "code", code_type: str = "code_type") -> str:

@@ -282,8 +282,8 @@ def _oracles() -> dict[str, str]:
             "WITH src AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 "
             "THEN c_name || ' [ID' || CAST(c_custkey AS STRING) || ']' ELSE c_name END AS payer_raw FROM customer) "
             "SELECT c_custkey AS custkey, payer_raw, "
-            "CASE WHEN regexp_matches(payer_raw, '^.*\\[.*?\\]\\s*$') THEN trim(regexp_extract(payer_raw, '^(.*)\\[(.*?)\\]\\s*$', 1)) ELSE trim(payer_raw) END AS payer_name, "
-            "CASE WHEN regexp_matches(payer_raw, '^.*\\[.*?\\]\\s*$') THEN trim(regexp_extract(payer_raw, '^(.*)\\[(.*?)\\]\\s*$', 2)) ELSE '' END AS payer_id "
+            "CASE WHEN regexp_matches(payer_raw, '^.*\\[.*?\\][ \\t\\n\\x0B\\f\\r]*$') THEN trim(regexp_extract(payer_raw, '^(.*)\\[(.*?)\\][ \\t\\n\\x0B\\f\\r]*$', 1)) ELSE trim(payer_raw) END AS payer_name, "
+            "CASE WHEN regexp_matches(payer_raw, '^.*\\[.*?\\][ \\t\\n\\x0B\\f\\r]*$') THEN trim(regexp_extract(payer_raw, '^(.*)\\[(.*?)\\][ \\t\\n\\x0B\\f\\r]*$', 2)) ELSE '' END AS payer_id "
             "FROM src"
         ),
     }

@@ -467,8 +467,12 @@ def q_extract_json_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracles (same derive CTE + SQL mirror of the extraction semantics)
 # ----------------------------------------------------------------------
 
-_PAYER_SPLIT_RE = r"^.*\[.*?\]\s*$"
-_PAYER_EXTRACT_RE = r"^(.*)\[(.*?)\]\s*$"
+# Java-\s spelled out (r12): these patterns run in BOTH engines (the
+# Spark extract path and the DuckDB oracle SQL built below), and RE2's
+# \s excludes U+000B while Java's includes it — the explicit class is
+# the one set both engines read identically (queries/_textsql.py).
+_PAYER_SPLIT_RE = r"^.*\[.*?\][ \t\n\x0B\f\r]*$"
+_PAYER_EXTRACT_RE = r"^(.*)\[(.*?)\][ \t\n\x0B\f\r]*$"
 
 
 def _payer_name_sql(col: str) -> str:

@@ -309,7 +309,7 @@ def q_explode_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXPLODE_ORACLE = """
 SELECT token, count(*) AS n FROM (
-  SELECT unnest(string_split_regex(p_name, '\\s+')) AS token FROM part
+  SELECT unnest(string_split_regex(p_name, '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM part
 )
 WHERE length(token) > 0
 GROUP BY token
@@ -413,7 +413,7 @@ WITH src AS (
 SELECT key, name,
   array_to_string(
     list_filter(
-      list_filter(string_split_regex(trim(lower(regexp_replace(name, '[.,''\\-&]', '', 'g'))), '\\s+'),
+      list_filter(string_split_regex(trim(lower(regexp_replace(name, '[.,''\\-&]', '', 'g'))), '[ \\t\\n\\x0B\\f\\r]+'),
                   t -> length(t) > 0),
       t -> NOT list_contains([{_STOP_LIST}], t)),
     '_') AS campus_id

@@ -25,6 +25,10 @@ from clearcare_data_pipeline_spark.operators.textstats import (
     LANG_STOPWORDS,
     text_stats,
 )
+from clearcare_data_pipeline_spark.queries._textsql import (
+    NON_WORD_NON_WS_CLASS,
+    WORDS_SQL,
+)
 from clearcare_data_pipeline_spark.sources.tables import load_table
 
 _NUM_HASHES = 12
@@ -75,7 +79,9 @@ FROM documents WHERE doc_id % 10 = 0
 
 # --- shared oracle fragments ------------------------------------------
 
-_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+# Java-\s explicit class (r12: RE2's \s excludes U+000B, Java's does
+# not — see queries/_textsql.py for the pinned divergence)
+_WORDS = WORDS_SQL
 
 _SHINGLES_SQL = f"""
 shingled AS (
@@ -139,7 +145,8 @@ def _doc_stats_oracle() -> str:
     ) + " ELSE 'und' END"
     punct = (
         "CASE WHEN length(text) > 0 THEN "
-        "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text) "
+        "(length(text) - length(regexp_replace(text, "
+        f"'{NON_WORD_NON_WS_CLASS}', '', 'g'))) / length(text) "
         "ELSE 0.0 END"
     )
     return f"""
@@ -149,7 +156,7 @@ WITH w0 AS (
 scored AS (
   SELECT doc_id, text, w, {scores},
     len(w) AS n_tokens,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens,
     length(text) AS n_chars
   FROM w0
 )
@@ -159,7 +166,7 @@ SELECT doc_id,
   CAST(n_chars AS INT) AS n_chars,
   {lang_case} AS lang_guess,
   round(0.4 * least(1.0, n_tokens / 100.0) + 0.4 * s_en + 0.2 * (1.0 - {punct}), 6) AS quality,
-  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint
 FROM scored
 """
 
@@ -179,7 +186,7 @@ def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_GROUPS_ORACLE = f"""
 WITH corpus AS ({_CORPUS_EXACT_SQL})
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint,
        count(*) AS n, min(doc_id) AS min_doc
 FROM corpus
 GROUP BY 1 HAVING count(*) > 1
@@ -197,7 +204,7 @@ WITH corpus AS ({_CORPUS_EXACT_SQL}),
 keep AS (
   SELECT min(doc_id) AS doc_id
   FROM corpus
-  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  GROUP BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
 )
 SELECT c.doc_id, c.lang, c.source FROM corpus c JOIN keep USING (doc_id)
 """
@@ -224,7 +231,7 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_exact_dedup(batch, seen).select("doc_id", "lang", "source")
 
 
-_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 _INCR_DEDUP_ORACLE = f"""
 WITH corpus AS ({_CORPUS_EXACT_SQL}),
@@ -312,8 +319,7 @@ def _simhash_cte(relation: str) -> str:
     two's-complement weight -2^63 (sums ride HUGEINT, land in BIGINT)."""
     return f"""
 toks AS (
-  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
-                                 t -> length(t) > 0)) AS tok
+  SELECT DISTINCT doc_id, unnest({WORDS_SQL}) AS tok
   FROM {relation}
 ),
 votes AS (

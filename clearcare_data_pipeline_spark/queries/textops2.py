@@ -55,7 +55,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                         t -> length(t) > 0)) AS term
   FROM documents
 ),
@@ -148,7 +148,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
 
 
-_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+_WORDS = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
 
 _CHUNKS_ORACLE = f"""
 WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
@@ -339,7 +339,7 @@ def q_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decon_oracle() -> str:
     from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_sql
 
-    words = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+    words = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
     return f"""
 WITH split_docs AS (
   SELECT doc_id, text,
@@ -421,7 +421,7 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_ORACLE = """
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0) AS w
+         list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0) AS w
   FROM documents
 ),
 word_stats AS (
@@ -489,7 +489,7 @@ def q_doc_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HH_ORACLE = f"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+  SELECT unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                 t -> length(t) > 0)) AS word
   FROM documents
 )
@@ -555,7 +555,7 @@ def q_doc_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COOC_ORACLE = f"""
 WITH dw AS (
   SELECT DISTINCT doc_id,
-    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+    unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
            t -> length(t) > 0)) AS word
   FROM documents
 ),
@@ -654,7 +654,7 @@ def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKING_ORACLE = f"""
 WITH toks AS (
   SELECT source, doc_id,
-    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+    CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
              t -> length(t) > 0)) AS BIGINT) AS tok
   FROM documents
 ),
@@ -692,7 +692,7 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_PPL_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),
@@ -760,7 +760,7 @@ def _hashed_tf_oracle() -> str:
     bucket = hash_bucket_sql("t", 64)
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),
@@ -835,7 +835,7 @@ def _tf_cosine_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),

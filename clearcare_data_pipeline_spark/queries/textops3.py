@@ -61,7 +61,7 @@ def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least(n, lead(pos) - pos) island scan.
 def _coverage_cte() -> str:
     n, md = DUP_SPAN_N, DUP_SPAN_MIN_DOCS
-    words = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+    words = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
     return f"""
 tok AS (
   SELECT doc_id, w, len(w) AS n_tokens
@@ -104,7 +104,7 @@ SELECT doc_id, n_tokens, dup_positions, covered_tokens FROM per_doc
 
 
 def _stats_oracle() -> str:
-    words = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+    words = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
     return f"""
 WITH {_coverage_cte()},
 all_docs AS (
