@@ -137,3 +137,25 @@ def test_no_bare_regex_class_in_any_oracle():
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_gated_corpus_is_pure_ascii():
+    """Premise of .r12state/ascii_scan.json, pinned at sf0.001 so data
+    regeneration can't silently void it: every VARCHAR value in every
+    table is pure ASCII, which makes all unicode engine-divergence
+    classes (case mapping, normalization, exotic whitespace beyond the
+    pinned U+000B handling) vacuous on gated data. Production corpora
+    are NOT covered by this — the explicit-class oracles and the
+    engine-parity pins above are the defense there."""
+    import glob
+
+    for p in sorted(glob.glob("/root/testdata/sf0.001/*.parquet")):
+        cols = [r[0] for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{p}'").fetchall()
+                if "VARCHAR" in str(r[1])]
+        for c in cols:
+            n = duckdb.sql(
+                f"SELECT count(*) FROM '{p}' "
+                f'WHERE octet_length(encode("{c}")) != length("{c}") '
+                f'OR regexp_matches("{c}", \'[^\\x00-\\x7F]\')'
+            ).fetchone()[0]
+            assert n == 0, (p, c)
