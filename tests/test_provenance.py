@@ -204,3 +204,40 @@ def test_backfilled_r12_artifacts_pass_the_check_now():
         for name, entry in doc["queries"].items():
             assert entry.get("code_hash") == current[name] or \
                 "provenance_waiver" in entry, (path, name)
+
+
+def test_merge_output_may_overwrite_an_input(tmp_path):
+    """The sf10 re-gates merge INTO one of their inputs
+    (CORRECTNESS_SF10_r12.json both read and written). The tool reads
+    every input fully before writing — pin that, so a future
+    streaming-read refactor can't silently truncate the artifact."""
+    current = P.query_code_hashes(["doc_stats"])
+    doc = {"sf_dir": "x",
+           "queries": {"doc_stats": _entry(code_hash=current["doc_stats"])}}
+    p = tmp_path / "artifact.json"
+    p.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "tools/merge_correctness.py", "--out", str(p), str(p)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    merged = json.loads(p.read_text())
+    assert merged["queries"]["doc_stats"]["code_hash"] == current["doc_stats"]
+    assert merged["passed"] == 1
+
+
+def test_waiver_persists_and_rechecks_clean_on_next_merge(tmp_path):
+    """A --waive stamps the CURRENT hash next to the recorded waiver
+    text; the NEXT merge therefore re-checks it as a normal matched
+    entry while the waiver text stays in the artifact for reviewers."""
+    current = P.query_code_hashes(["doc_stats"])
+    doc = {"sf_dir": "x",
+           "queries": {"doc_stats": _entry(code_hash="ch:0000000000000000")}}
+    proc, merged = _run_merge(tmp_path, [doc], "--waive", "doc_stats=spelling-only, see diff")
+    assert proc.returncode == 0
+    proc2, merged2 = _run_merge(tmp_path, [merged])
+    assert proc2.returncode == 0, proc2.stdout + proc2.stderr
+    e = merged2["queries"]["doc_stats"]
+    assert e["provenance_waiver"] == "spelling-only, see diff"
+    assert e["code_hash"] == current["doc_stats"]
+    assert merged2["provenance"]["matched"] == 1 and not merged2["provenance"]["waived"]
