@@ -148,6 +148,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 # compare for diagnostics (and its verdict, restoring tolerance
 # semantics); big results report the digests.
 
+# Digest FORMULA version, stamped into artifacts (r12): digests are
+# breadcrumbs bound to the formula era of their fresh run — the r12
+# lineage check (.r12state/digest_lineage_check.json) had to
+# reconstruct forensically that four preserved r9 digests predated
+# da89a38's injective length-prefix refinement. Bump this whenever
+# the canonicalization (_spark_canon/_duck_canon/joining) changes so
+# future cross-era digest comparisons are mechanical.
+#   v2 = da89a38's formula: tier-safe float canon + length-prefixed
+#        injective field joining. (The short-lived initial formula of
+#        db9a851 is retroactively v1.)
+DIGEST_VERSION = 2
+
 _HASH_SENT = "\x02"
 _HASH_SEP = "\x1f"
 _HASH_SIMPLE = {
@@ -493,6 +505,7 @@ def main() -> int:
                     "passed": len(passed),
                     "failed": len(failed),
                     "rows_only": len(rows_only),
+                    "digest_version": DIGEST_VERSION,
                     "git": _git_state(),
                     "queries": results,
                 },

@@ -48,6 +48,18 @@ def run_verify(sf_dir: str, names: list[str], out: str, env: dict) -> dict:
         return json.load(f).get("queries", {})
 
 
+def _digest_version() -> int | None:
+    """The formula version of verify_local's in-engine digest — the
+    subprocesses' digests all carry this era (see verify_local.py
+    DIGEST_VERSION and .r12state/digest_lineage_check.json)."""
+    try:
+        import verify_local
+
+        return verify_local.DIGEST_VERSION
+    except Exception:
+        return None
+
+
 def _git_state() -> dict | None:
     """Same artifact context verify_local records (HEAD + package
     dirtiness) — the stitched doc should carry it even though its
@@ -139,6 +151,7 @@ def main() -> int:
         "passed": sum(s["status"] == "pass" for s in statuses),
         "failed": sum(s["status"] not in ("pass", "rows_only") for s in statuses),
         "rows_only": sum(s["status"] == "rows_only" for s in statuses),
+        "digest_version": _digest_version(),
         "git": _git_state(),
         "queries": {n: results.get(n, {"status": "fail", "err": "no result (process crash)"})
                     for n in names},
