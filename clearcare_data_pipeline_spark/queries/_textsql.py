@@ -31,6 +31,25 @@ WS_PLUS = WS_CLASS + "+"
 # punctuation complement out too so no bare class remains in oracles.
 NON_WORD_NON_WS_CLASS = "[^0-9A-Za-z_ \\t\\n\\x0B\\f\\r]"
 
+# BPE-ish tokenizer alternation (textstats.py n_bpe_tokens): letter
+# runs, digit runs, single non-alnum-non-ws symbols. The symbol class
+# excludes underscore (unlike NON_WORD_NON_WS_CLASS) to match the
+# engine regex exactly.
+NON_ALNUM_NON_WS_CLASS = "[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|" + NON_ALNUM_NON_WS_CLASS
+
+# Whitespace-squeezed lowercase md5 fingerprint of `text` — the DuckDB
+# twin of operators/textstats.fingerprint_expr.
+FINGERPRINT_SQL = (
+    "md5(regexp_replace(lower(trim(text)), '" + WS_CLASS + "+', ' ', 'g'))"
+)
+
+# Payer "Name [id]" split (functions/text.split_payer_name_id): both
+# engines run these verbatim, so the trailing-whitespace star uses the
+# explicit Java class.
+PAYER_SPLIT_RE = "^.*\\[.*?\\]" + WS_CLASS + "*$"
+PAYER_EXTRACT_RE = "^(.*)\\[(.*?)\\]" + WS_CLASS + "*$"
+
 
 # DuckDB twin of schema.ALGORITHM_INVALID_REGEX (^[0-9$%\s]+$, run
 # through Java rlike on the Spark side): same class, \s expanded, so

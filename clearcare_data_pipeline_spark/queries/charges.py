@@ -17,6 +17,10 @@ from clearcare_data_pipeline_spark.functions.text import split_payer_name_id
 from clearcare_data_pipeline_spark.pipeline import clean_charges, score_summary
 from clearcare_data_pipeline_spark.plans.metrics import field_presence
 from clearcare_data_pipeline_spark.plans.rules import RULE_NAMES, tag_violations
+from clearcare_data_pipeline_spark.queries._textsql import (
+    PAYER_EXTRACT_RE,
+    PAYER_SPLIT_RE,
+)
 from clearcare_data_pipeline_spark.queries._oracle_expr import (
     cleaned_charges_cte,
     materialize_ctes,
@@ -282,8 +286,8 @@ def _oracles() -> dict[str, str]:
             "WITH src AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 "
             "THEN c_name || ' [ID' || CAST(c_custkey AS STRING) || ']' ELSE c_name END AS payer_raw FROM customer) "
             "SELECT c_custkey AS custkey, payer_raw, "
-            "CASE WHEN regexp_matches(payer_raw, '^.*\\[.*?\\][ \\t\\n\\x0B\\f\\r]*$') THEN trim(regexp_extract(payer_raw, '^(.*)\\[(.*?)\\][ \\t\\n\\x0B\\f\\r]*$', 1)) ELSE trim(payer_raw) END AS payer_name, "
-            "CASE WHEN regexp_matches(payer_raw, '^.*\\[.*?\\][ \\t\\n\\x0B\\f\\r]*$') THEN trim(regexp_extract(payer_raw, '^(.*)\\[(.*?)\\][ \\t\\n\\x0B\\f\\r]*$', 2)) ELSE '' END AS payer_id "
+            f"CASE WHEN regexp_matches(payer_raw, '{PAYER_SPLIT_RE}') THEN trim(regexp_extract(payer_raw, '{PAYER_EXTRACT_RE}', 1)) ELSE trim(payer_raw) END AS payer_name, "
+            f"CASE WHEN regexp_matches(payer_raw, '{PAYER_SPLIT_RE}') THEN trim(regexp_extract(payer_raw, '{PAYER_EXTRACT_RE}', 2)) ELSE '' END AS payer_id "
             "FROM src"
         ),
     }

@@ -33,6 +33,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clearcare_data_pipeline_spark.queries._textsql import (
+    PAYER_EXTRACT_RE,
+    PAYER_SPLIT_RE,
+)
 from clearcare_data_pipeline_spark.queries._oracle_expr import code_type_norm_sql
 from clearcare_data_pipeline_spark.schema import ALLOWED_CODE_TYPES
 
@@ -471,8 +475,8 @@ def q_extract_json_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark extract path and the DuckDB oracle SQL built below), and RE2's
 # \s excludes U+000B while Java's includes it — the explicit class is
 # the one set both engines read identically (queries/_textsql.py).
-_PAYER_SPLIT_RE = r"^.*\[.*?\][ \t\n\x0B\f\r]*$"
-_PAYER_EXTRACT_RE = r"^(.*)\[(.*?)\][ \t\n\x0B\f\r]*$"
+_PAYER_SPLIT_RE = PAYER_SPLIT_RE
+_PAYER_EXTRACT_RE = PAYER_EXTRACT_RE
 
 
 def _payer_name_sql(col: str) -> str:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clearcare_data_pipeline_spark.queries._textsql import WS_PLUS
 from clearcare_data_pipeline_spark.functions.text import slugify, zip_from_address
 from clearcare_data_pipeline_spark.operators.dedup import MINHASH_MOD, minhash_consts
 from clearcare_data_pipeline_spark.schema import SLUG_STOPWORDS
@@ -307,9 +308,9 @@ def q_explode_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXPLODE_ORACLE = """
+_EXPLODE_ORACLE = f"""
 SELECT token, count(*) AS n FROM (
-  SELECT unnest(string_split_regex(p_name, '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM part
+  SELECT unnest(string_split_regex(p_name, '{WS_PLUS}')) AS token FROM part
 )
 WHERE length(token) > 0
 GROUP BY token
@@ -413,7 +414,7 @@ WITH src AS (
 SELECT key, name,
   array_to_string(
     list_filter(
-      list_filter(string_split_regex(trim(lower(regexp_replace(name, '[.,''\\-&]', '', 'g'))), '[ \\t\\n\\x0B\\f\\r]+'),
+      list_filter(string_split_regex(trim(lower(regexp_replace(name, '[.,''\\-&]', '', 'g'))), '{WS_PLUS}'),
                   t -> length(t) > 0),
       t -> NOT list_contains([{_STOP_LIST}], t)),
     '_') AS campus_id

@@ -26,6 +26,8 @@ from clearcare_data_pipeline_spark.operators.textstats import (
     text_stats,
 )
 from clearcare_data_pipeline_spark.queries._textsql import (
+    BPE_TOKEN_RE,
+    FINGERPRINT_SQL,
     NON_WORD_NON_WS_CLASS,
     WORDS_SQL,
 )
@@ -156,7 +158,7 @@ WITH w0 AS (
 scored AS (
   SELECT doc_id, text, w, {scores},
     len(w) AS n_tokens,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens,
+    len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
     length(text) AS n_chars
   FROM w0
 )
@@ -166,7 +168,7 @@ SELECT doc_id,
   CAST(n_chars AS INT) AS n_chars,
   {lang_case} AS lang_guess,
   round(0.4 * least(1.0, n_tokens / 100.0) + 0.4 * s_en + 0.2 * (1.0 - {punct}), 6) AS quality,
-  md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint
+  {FINGERPRINT_SQL} AS fingerprint
 FROM scored
 """
 
@@ -186,7 +188,7 @@ def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_GROUPS_ORACLE = f"""
 WITH corpus AS ({_CORPUS_EXACT_SQL})
-SELECT md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint,
+SELECT {FINGERPRINT_SQL} AS fingerprint,
        count(*) AS n, min(doc_id) AS min_doc
 FROM corpus
 GROUP BY 1 HAVING count(*) > 1
@@ -204,7 +206,7 @@ WITH corpus AS ({_CORPUS_EXACT_SQL}),
 keep AS (
   SELECT min(doc_id) AS doc_id
   FROM corpus
-  GROUP BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+  GROUP BY {FINGERPRINT_SQL}
 )
 SELECT c.doc_id, c.lang, c.source FROM corpus c JOIN keep USING (doc_id)
 """
@@ -231,7 +233,7 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_exact_dedup(batch, seen).select("doc_id", "lang", "source")
 
 
-_FP_SQL = "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+_FP_SQL = FINGERPRINT_SQL
 
 _INCR_DEDUP_ORACLE = f"""
 WITH corpus AS ({_CORPUS_EXACT_SQL}),

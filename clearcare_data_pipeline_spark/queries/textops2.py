@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clearcare_data_pipeline_spark.queries._textsql import WORDS_SQL, WS_PLUS
 from clearcare_data_pipeline_spark.operators.components import connected_components
 from clearcare_data_pipeline_spark.operators.dedup import (
     doc_shingles,
@@ -55,7 +56,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
                         t -> length(t) > 0)) AS term
   FROM documents
 ),
@@ -148,7 +149,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
 
 
-_WORDS = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
+_WORDS = WORDS_SQL
 
 _CHUNKS_ORACLE = f"""
 WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
@@ -339,7 +340,7 @@ def q_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decon_oracle() -> str:
     from clearcare_data_pipeline_spark.operators.sampling import hash_bucket_sql
 
-    words = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
+    words = WORDS_SQL
     return f"""
 WITH split_docs AS (
   SELECT doc_id, text,
@@ -418,10 +419,10 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where((F.col("top_word_frac") > 0.1) | (F.col("dup_bigram_frac") > 0.2))
 
 
-_REPETITION_ORACLE = """
+_REPETITION_ORACLE = f"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0) AS w
+         list_filter(string_split_regex(trim(text), '{WS_PLUS}'), t -> length(t) > 0) AS w
   FROM documents
 ),
 word_stats AS (
@@ -489,7 +490,7 @@ def q_doc_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HH_ORACLE = f"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+  SELECT unnest(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
                 t -> length(t) > 0)) AS word
   FROM documents
 )
@@ -555,7 +556,7 @@ def q_doc_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COOC_ORACLE = f"""
 WITH dw AS (
   SELECT DISTINCT doc_id,
-    unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+    unnest(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
            t -> length(t) > 0)) AS word
   FROM documents
 ),
@@ -654,7 +655,7 @@ def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKING_ORACLE = f"""
 WITH toks AS (
   SELECT source, doc_id,
-    CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+    CAST(len(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
              t -> length(t) > 0)) AS BIGINT) AS tok
   FROM documents
 ),
@@ -690,9 +691,9 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_lm_perplexity(docs)
 
 
-_LM_PPL_ORACLE = """
+_LM_PPL_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),
@@ -760,7 +761,7 @@ def _hashed_tf_oracle() -> str:
     bucket = hash_bucket_sql("t", 64)
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),
@@ -835,7 +836,7 @@ def _tf_cosine_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clearcare_data_pipeline_spark.queries._textsql import WORDS_SQL
 from clearcare_data_pipeline_spark.operators.spans import (
     DUP_SPAN_MIN_DOCS,
     DUP_SPAN_N,
@@ -44,8 +45,16 @@ def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, one row per source at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     cov = duplicated_span_coverage(docs, n=DUP_SPAN_N, min_docs=DUP_SPAN_MIN_DOCS)
+    # NULL text must count 0 tokens in BOTH engines: Spark's
+    # non-ANSI size(NULL) is -1 (would be summed into total_tokens),
+    # DuckDB's len(NULL) is NULL (skipped by sum) — guard explicitly
+    # rather than inherit either engine's default.
     per_doc = docs.select(
-        "doc_id", "source", F.size(words_expr(F.col("text"))).alias("n_tokens")
+        "doc_id",
+        "source",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(words_expr(F.col("text"))))
+        .alias("n_tokens"),
     ).join(cov.select("doc_id", "dup_positions", "covered_tokens"), "doc_id", "left")
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -61,7 +70,7 @@ def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least(n, lead(pos) - pos) island scan.
 def _coverage_cte() -> str:
     n, md = DUP_SPAN_N, DUP_SPAN_MIN_DOCS
-    words = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
+    words = WORDS_SQL
     return f"""
 tok AS (
   SELECT doc_id, w, len(w) AS n_tokens
@@ -104,11 +113,11 @@ SELECT doc_id, n_tokens, dup_positions, covered_tokens FROM per_doc
 
 
 def _stats_oracle() -> str:
-    words = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
+    words = WORDS_SQL
     return f"""
 WITH {_coverage_cte()},
 all_docs AS (
-  SELECT doc_id, source, len({words}) AS n_tokens FROM documents
+  SELECT doc_id, source, coalesce(len({words}), 0) AS n_tokens FROM documents
 )
 SELECT a.source,
        count(*) AS n_docs,

@@ -130,3 +130,29 @@ def test_random_corpus_matches_brute_oracle(spark, seed):
     want = _brute_coverage(rows)
     assert got == want
     assert "p1" in got and "p2" in got
+
+
+def test_null_text_counts_zero_tokens_in_stats(spark):
+    """r13 (ADVICE r12): a NULL-text document must contribute 0 to
+    total_tokens, not Spark's non-ANSI size(NULL) = -1. Exercises the
+    q_doc_dup_span_stats aggregation path directly on a frame with a
+    NULL text row."""
+    from clearcare_data_pipeline_spark.operators.textstats import words_expr
+
+    docs = spark.createDataFrame(
+        [("a", "s1", "x " * 20), ("b", "s1", None)],
+        "doc_id: string, source: string, text: string",
+    )
+    n_tokens = (
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(words_expr(F.col("text"))))
+        .alias("n_tokens")
+    )
+    got = {
+        r["source"]: r["total"]
+        for r in docs.select("source", n_tokens)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("total"))
+        .collect()
+    }
+    assert got == {"s1": 20}

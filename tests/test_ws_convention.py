@@ -139,6 +139,28 @@ def test_no_bare_regex_class_in_any_oracle():
     assert not bad, bad
 
 
+def test_ws_class_defined_once():
+    """r13 (ADVICE r12): the explicit Java-\\s class must be DEFINED
+    exactly once — queries/_textsql.py — and only REUSED elsewhere.
+    The bare-class guard above catches a regression to '\\s' but not a
+    site that drifts to a different explicit class; this one does: any
+    query-module source spelling the class out by hand (detected via
+    its distinctive x0B member) fails here."""
+    import glob as _glob
+    import os
+
+    qdir = os.path.join(
+        os.path.dirname(__file__), "..", "clearcare_data_pipeline_spark", "queries"
+    )
+    offenders = []
+    for p in sorted(_glob.glob(os.path.join(qdir, "*.py"))):
+        if os.path.basename(p) == "_textsql.py":
+            continue
+        if "x0B" in open(p).read():
+            offenders.append(os.path.basename(p))
+    assert not offenders, offenders
+
+
 def test_gated_corpus_is_pure_ascii():
     """Premise of .r12state/ascii_scan.json, pinned at sf0.001 so data
     regeneration can't silently void it: every VARCHAR value in every
@@ -149,7 +171,9 @@ def test_gated_corpus_is_pure_ascii():
     engine-parity pins above are the defense there."""
     import glob
 
-    for p in sorted(glob.glob("/root/testdata/sf0.001/*.parquet")):
+    paths = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    assert paths, "gated corpus missing at /root/testdata/sf0.001 — premise unverifiable"
+    for p in paths:
         cols = [r[0] for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{p}'").fetchall()
                 if "VARCHAR" in str(r[1])]
         for c in cols:

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -82,7 +83,11 @@ def main() -> int:
 
     provenance_block: dict | None = None
     if not args.no_check_provenance:
-        sys.path.insert(0, ".")
+        # Anchor to the repo root that contains THIS script, not the
+        # caller's cwd — run from elsewhere, a cwd-relative path would
+        # either fail the import or silently hash a different tree
+        # than the artifacts being merged.
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from clearcare_data_pipeline_spark.provenance import query_code_hashes
 
         try:
