@@ -114,3 +114,93 @@ def duplicated_span_coverage(
         F.count(F.lit(1)).alias("dup_positions"),
         F.sum("cov").cast("long").alias("covered_tokens"),
     )
+
+
+def duplicated_islands(
+    df: DataFrame,
+    n: int = DUP_SPAN_N,
+    min_docs: int = DUP_SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated islands per document: (doc_id, island_start,
+    island_end) token ranges [start, end) — the union of the n-token
+    windows at duplicated positions, merged where they overlap or
+    touch. Fixed-length sorted intervals make island detection a
+    single lag() comparison: a new island starts exactly when
+    ``pos - prev_pos > n`` (``== n`` means the windows touch and the
+    removed text range is contiguous)."""
+    grams = positional_grams(df, n, id_col, text_col)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("isl", F.sum("new_isl").over(w))
+    return flagged.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("island_start"),
+        (F.max("pos") + n).alias("island_end"),
+    ).select("doc_id", "island_start", "island_end")
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    n: int = DUP_SPAN_N,
+    min_docs: int = DUP_SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The trim POLICY on the duplicated-span signal (Lee et al. 2022
+    §4 act on what duplicated_span_coverage measures): emit the corpus
+    with every maximal duplicated island CUT, keeping the remainder.
+    One row per input document:
+
+      (doc_id, n_tokens, kept_tokens, removed_tokens, trimmed_text)
+
+    ``trimmed_text`` is the kept tokens re-joined with single spaces —
+    token-stream-normalized for ALL documents (also the untouched
+    ones), so downstream tokenization is insensitive to original
+    whitespace. Documents trimmed to nothing keep their row with
+    kept_tokens = 0; NULL/short texts pass through with 0 tokens.
+
+    Scale shape: islands per doc are few (bounded by n_tokens / n);
+    the keep-filter is a per-doc array HOF against the broadcast-small
+    island list OF THAT DOC (carried on the row by one keyed
+    aggregation + one left join) — no shuffle beyond the signal
+    computation itself, everything JVM-side."""
+    islands = duplicated_islands(df, n, min_docs, id_col, text_col)
+    per_doc = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("island_start", "island_end")).alias("_isl")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(words_expr(F.col(text_col)), F.array()).alias("_toks"),
+    )
+    joined = toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "_toks",
+        F.coalesce(
+            "_isl", F.array().cast("array<struct<island_start:int,island_end:int>>")
+        ).alias("_isl"),
+    )
+    # filter-with-index: token i survives unless inside any island
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_isl",
+            lambda s: (i >= s["island_start"]) & (i < s["island_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("trimmed_text"),
+    )

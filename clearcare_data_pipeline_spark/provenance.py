@@ -166,9 +166,24 @@ def import_closure(modname: str) -> tuple[str, ...]:
 
 @lru_cache(maxsize=None)
 def closure_hash(modname: str) -> str:
-    """Digest of the source bytes of every module in the closure."""
+    """Digest of the source bytes of every module in the closure.
+
+    Hard-errors on an EMPTY closure (r13 adversarial pass): a module
+    name that is excluded or does not resolve inside the package
+    would otherwise hash zero bytes — a constant digest that never
+    invalidates, i.e. a silent fake gate for any query routed through
+    it (e.g. a registry entry that is a ``functools.partial``, whose
+    ``__module__`` is ``functools``)."""
+    closure = import_closure(modname)
+    if not closure:
+        raise ValueError(
+            f"empty code closure for {modname!r} — the module is "
+            "excluded or outside the package, so its hash would never "
+            "invalidate; define query functions in a hashed package "
+            "module"
+        )
     h = hashlib.sha256()
-    for m in import_closure(modname):
+    for m in closure:
         h.update(m.encode())
         h.update(b"\0")
         h.update(_module_sha(m).encode())
@@ -176,17 +191,45 @@ def closure_hash(modname: str) -> str:
     return HASH_PREFIX + h.hexdigest()[:HASH_LEN]
 
 
+def check_no_reexports_through_excluded(modname: str) -> None:
+    """r13 adversarial pass: the EXCLUDED registry package must stay
+    pure wiring. If any module inside ``modname``'s closure imports
+    FROM an excluded module, code could flow into query semantics
+    through a path the closure hash does not see (a re-export chain
+    through ``queries/__init__``) — refuse rather than hash blind."""
+    for m in import_closure(modname):
+        hit = _direct_imports(m) & EXCLUDED_MODULES
+        if hit:
+            raise ValueError(
+                f"{m} imports from excluded module(s) {sorted(hit)} — "
+                "re-exports through the registry package are invisible "
+                "to closure hashes; import the defining module directly"
+            )
+
+
 def query_code_hashes(names: list[str] | None = None) -> dict[str, str]:
     """``code_hash`` for each registered query (default: all). The
     defining module is resolved from the CURRENT registry, so a
-    remapped name hashes its new implementation."""
+    remapped name hashes its new implementation. Refuses functions
+    whose defining module lies outside the hashed package (wrappers,
+    partials, lambdas in the registry __init__) and closures that
+    reach back into the excluded registry package."""
     from clearcare_data_pipeline_spark.queries import all_queries
 
     registry = all_queries()
     out: dict[str, str] = {}
     for name in (names if names is not None else list(registry)):
         fn = registry[name]
-        out[name] = closure_hash(fn.__module__)
+        mod = fn.__module__
+        if module_path(mod) is None or mod in EXCLUDED_MODULES:
+            raise ValueError(
+                f"query {name!r} is defined in {mod!r}, which the "
+                "closure walk cannot hash — move the function into a "
+                "package module (no partials/lambdas/registry-__init__ "
+                "definitions)"
+            )
+        check_no_reexports_through_excluded(mod)
+        out[name] = closure_hash(mod)
     return out
 
 

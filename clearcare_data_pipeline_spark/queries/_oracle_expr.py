@@ -31,7 +31,7 @@ from clearcare_data_pipeline_spark.sources.charges import charges_sql
 
 
 def price_clean_sql(col: str, *, exempt: bool = False) -> str:
-    num = f"TRY_CAST(trim(translate({col}, '$%\",', '')) AS DOUBLE)"
+    num = f"TRY_CAST(trim(translate({col}, '$%\",', ''), ' ') AS DOUBLE)"
     if exempt:
         return num
     return (
@@ -68,7 +68,7 @@ def modifiers_norm_sql(col: str) -> str:
 
 def code_type_norm_sql(col: str) -> str:
     whens = " ".join(f"WHEN '{raw}' THEN '{canon}'" for raw, canon in CODE_TYPE_NORMALIZATION.items())
-    return f"CASE upper(trim({col})) {whens} ELSE NULL END"
+    return f"CASE upper(trim({col}, ' ')) {whens} ELSE NULL END"
 
 
 def algorithm_invalid_sql(col: str) -> str:
@@ -86,11 +86,11 @@ def code_format_valid_sql(code: str = "code", code_type: str = "code_type") -> s
     per_type.append(
         f"({code_type} = 'ICD' AND length({code}) BETWEEN {ICD_CODE_MIN_LEN} AND {ICD_CODE_MAX_LEN})"
     )
-    return f"(({code} IS NULL OR trim({code}) = '') OR {' OR '.join(per_type)})"
+    return f"(({code} IS NULL OR trim({code}, ' ') = '') OR {' OR '.join(per_type)})"
 
 
 def text_present_sql(col: str) -> str:
-    return f"({col} IS NOT NULL AND trim({col}) <> '')"
+    return f"({col} IS NOT NULL AND trim({col}, ' ') <> '')"
 
 
 def num_present_sql(col: str) -> str:
@@ -122,11 +122,11 @@ def rule_predicates_sql() -> dict[str, str]:
         "rule_1": f"(({neg_price} OR {neg_pct} OR {gross}) AND NOT ({payer} AND {plan} AND {methodology}))",
         "rule_2": f"({any_price} AND NOT ({code} AND {code_type}))",
         "rule_3": f"({code} <> {code_type})",
-        "rule_4": f"((trim(negotiated_methodology) = 'other') AND NOT {notes})",
+        "rule_4": f"((trim(negotiated_methodology, ' ') = 'other') AND NOT {notes})",
         "rule_5": f"({desc} AND NOT {gross} AND NOT {cash} AND NOT {neg_price} AND NOT {neg_pct} AND NOT {algorithm})",
         "rule_6": f"({neg_price} AND NOT ({min_p} AND {max_p}))",
         "rule_7": f"(NOT {neg_price} AND ({neg_pct} OR {algorithm}) AND NOT {est})",
-        "rule_8": f"((trim(code_type) = 'NDC') AND NOT ({drug_unit} AND {drug_type}))",
+        "rule_8": f"((trim(code_type, ' ') = 'NDC') AND NOT ({drug_unit} AND {drug_type}))",
         "rule_9": f"({modifiers} AND NOT {desc} AND NOT {neg_price} AND NOT {neg_pct} AND NOT {algorithm} AND NOT {notes})",
         "rule_10": f"({drug_unit} <> {drug_type})",
     }

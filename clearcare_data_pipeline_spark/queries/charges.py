@@ -171,8 +171,8 @@ def q_charges_code_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_charges_unknown_code_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = clean_charges(charges_from_lineitem(spark, sf_dir), validate=False, dedup=False)
     return (
-        df.where(F.col("code_type").isNull() & (F.trim(F.coalesce("code_type_raw", F.lit(""))) != ""))
-        .groupBy(F.upper(F.trim(F.col("code_type_raw"))).alias("raw_code_type"))
+        df.where(F.col("code_type").isNull() & (F.trim(F.coalesce("code_type_raw", F.lit("")), ' ') != ""))
+        .groupBy(F.upper(F.trim(F.col("code_type_raw"), ' ')).alias("raw_code_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -220,7 +220,7 @@ QUERIES = {
 
 
 def _presence_count_sql(col: str) -> str:
-    return f"count(CASE WHEN {col} IS NOT NULL AND trim(CAST({col} AS STRING)) <> '' THEN 1 END)"
+    return f"count(CASE WHEN {col} IS NOT NULL AND trim(CAST({col} AS STRING), ' ') <> '' THEN 1 END)"
 
 
 def _oracles() -> dict[str, str]:
@@ -273,21 +273,21 @@ def _oracles() -> dict[str, str]:
         "charges_unknown_code_types": (
             # pre-validate/pre-dedup stage == the `flagged` CTE
             f"WITH {cleaned_charges_cte(_LINEITEM_REL)} "
-            "SELECT upper(trim(code_type_raw)) AS raw_code_type, CAST(count(*) AS BIGINT) AS n "
-            "FROM flagged WHERE code_type IS NULL AND trim(coalesce(code_type_raw, '')) <> '' "
-            "GROUP BY upper(trim(code_type_raw))"
+            "SELECT upper(trim(code_type_raw, ' ')) AS raw_code_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM flagged WHERE code_type IS NULL AND trim(coalesce(code_type_raw, ''), ' ') <> '' "
+            "GROUP BY upper(trim(code_type_raw, ' '))"
         ),
         "charges_modifier_counts": (
             f"WITH {cleaned_charges_cte(_LINEITEM_REL)}, "
-            "toks AS (SELECT unnest(list_filter(list_transform(string_split_regex(modifiers, '[,|]'), t -> trim(t)), t -> length(t) > 0)) AS modifier FROM cleaned) "
+            "toks AS (SELECT unnest(list_filter(list_transform(string_split_regex(modifiers, '[,|]'), t -> trim(t, ' ')), t -> length(t) > 0)) AS modifier FROM cleaned) "
             "SELECT modifier, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY modifier"
         ),
         "payer_name_id_split": (
             "WITH src AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 "
             "THEN c_name || ' [ID' || CAST(c_custkey AS STRING) || ']' ELSE c_name END AS payer_raw FROM customer) "
             "SELECT c_custkey AS custkey, payer_raw, "
-            f"CASE WHEN regexp_matches(payer_raw, '{PAYER_SPLIT_RE}') THEN trim(regexp_extract(payer_raw, '{PAYER_EXTRACT_RE}', 1)) ELSE trim(payer_raw) END AS payer_name, "
-            f"CASE WHEN regexp_matches(payer_raw, '{PAYER_SPLIT_RE}') THEN trim(regexp_extract(payer_raw, '{PAYER_EXTRACT_RE}', 2)) ELSE '' END AS payer_id "
+            f"CASE WHEN regexp_matches(payer_raw, '{PAYER_SPLIT_RE}') THEN trim(regexp_extract(payer_raw, '{PAYER_EXTRACT_RE}', 1), ' ') ELSE trim(payer_raw, ' ') END AS payer_name, "
+            f"CASE WHEN regexp_matches(payer_raw, '{PAYER_SPLIT_RE}') THEN trim(regexp_extract(payer_raw, '{PAYER_EXTRACT_RE}', 2), ' ') ELSE '' END AS payer_id "
             "FROM src"
         ),
     }
@@ -307,7 +307,7 @@ def q_charges_code_type_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = clean_charges(charges_from_lineitem(spark, sf_dir), validate=False, dedup=False)
     return (
         df.where(F.col("code_type").isNotNull())
-        .groupBy(F.upper(F.trim(F.col("code_type_raw"))).alias("raw_code_type"))
+        .groupBy(F.upper(F.trim(F.col("code_type_raw"), ' ')).alias("raw_code_type"))
         .agg(F.array_join(F.sort_array(F.collect_set("code_type")), ",").alias("normalized_types"))
     )
 
@@ -315,8 +315,8 @@ def q_charges_code_type_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["charges_code_type_mappings"] = q_charges_code_type_mappings
 ORACLES["charges_code_type_mappings"] = materialize_ctes(
     f"WITH {cleaned_charges_cte(_LINEITEM_REL)} "
-    "SELECT upper(trim(code_type_raw)) AS raw_code_type, "
+    "SELECT upper(trim(code_type_raw, ' ')) AS raw_code_type, "
     "array_to_string(list_sort(list(DISTINCT code_type)), ',') AS normalized_types "
     "FROM flagged WHERE code_type IS NOT NULL "
-    "GROUP BY upper(trim(code_type_raw))"
+    "GROUP BY upper(trim(code_type_raw, ' '))"
 )

@@ -482,14 +482,14 @@ _PAYER_EXTRACT_RE = PAYER_EXTRACT_RE
 def _payer_name_sql(col: str) -> str:
     return (
         f"CASE WHEN regexp_matches({col}, '{_PAYER_SPLIT_RE}') "
-        f"THEN trim(regexp_extract({col}, '{_PAYER_EXTRACT_RE}', 1)) ELSE trim({col}) END"
+        f"THEN trim(regexp_extract({col}, '{_PAYER_EXTRACT_RE}', 1), ' ') ELSE trim({col}, ' ') END"
     )
 
 
 def _payer_id_sql(col: str) -> str:
     return (
         f"CASE WHEN regexp_matches({col}, '{_PAYER_SPLIT_RE}') "
-        f"THEN trim(regexp_extract({col}, '{_PAYER_EXTRACT_RE}', 2)) ELSE '' END"
+        f"THEN trim(regexp_extract({col}, '{_PAYER_EXTRACT_RE}', 2), ' ') ELSE '' END"
     )
 
 
@@ -542,9 +542,9 @@ slots AS (
   WHERE code2 <> '' AND code2_type <> ''
 ),
 typed AS (SELECT *, {norm} AS code_type FROM slots)
-SELECT upper(trim(code_type_raw)) AS raw_code_type, count(*) AS n
+SELECT upper(trim(code_type_raw, ' ')) AS raw_code_type, count(*) AS n
 FROM typed WHERE code_type IS NULL OR code_type NOT IN ({_ALLOWED})
-GROUP BY upper(trim(code_type_raw))
+GROUP BY upper(trim(code_type_raw, ' '))
 """.strip()
 
 
@@ -622,7 +622,7 @@ SELECT
   -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
   coalesce(array_to_string(list_filter(
     [coalesce(g_gnotes, ''), coalesce(f_payer_notes, '')],
-    x -> length(trim(x)) > 0), ', '), '') AS additional_notes,
+    x -> length(trim(x, ' ')) > 0), ', '), '') AS additional_notes,
   coalesce(g_modifiers, '') AS modifiers
 FROM grouped
 """.strip()

@@ -414,7 +414,7 @@ WITH src AS (
 SELECT key, name,
   array_to_string(
     list_filter(
-      list_filter(string_split_regex(trim(lower(regexp_replace(name, '[.,''\\-&]', '', 'g'))), '{WS_PLUS}'),
+      list_filter(string_split_regex(trim(lower(regexp_replace(name, '[.,''\\-&]', '', 'g')), ' '), '{WS_PLUS}'),
                   t -> length(t) > 0),
       t -> NOT list_contains([{_STOP_LIST}], t)),
     '_') AS campus_id

@@ -56,7 +56,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'),
                         t -> length(t) > 0)) AS term
   FROM documents
 ),
@@ -422,7 +422,7 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_ORACLE = f"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '{WS_PLUS}'), t -> length(t) > 0) AS w
+         list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'), t -> length(t) > 0) AS w
   FROM documents
 ),
 word_stats AS (
@@ -490,7 +490,7 @@ def q_doc_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HH_ORACLE = f"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
+  SELECT unnest(list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'),
                 t -> length(t) > 0)) AS word
   FROM documents
 )
@@ -556,7 +556,7 @@ def q_doc_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COOC_ORACLE = f"""
 WITH dw AS (
   SELECT DISTINCT doc_id,
-    unnest(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
+    unnest(list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'),
            t -> length(t) > 0)) AS word
   FROM documents
 ),
@@ -655,7 +655,7 @@ def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKING_ORACLE = f"""
 WITH toks AS (
   SELECT source, doc_id,
-    CAST(len(list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
+    CAST(len(list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'),
              t -> length(t) > 0)) AS BIGINT) AS tok
   FROM documents
 ),
@@ -693,7 +693,7 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_PPL_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),
@@ -761,7 +761,7 @@ def _hashed_tf_oracle() -> str:
     bucket = hash_bucket_sql("t", 64)
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),
@@ -836,7 +836,7 @@ def _tf_cosine_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '{WS_PLUS}'),
+  SELECT doc_id, list_filter(string_split_regex(trim(text, ' '), '{WS_PLUS}'),
                              t -> length(t) > 0) AS ts
   FROM documents
 ),

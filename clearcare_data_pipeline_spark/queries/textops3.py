@@ -18,6 +18,7 @@ from clearcare_data_pipeline_spark.operators.spans import (
     DUP_SPAN_MIN_DOCS,
     DUP_SPAN_N,
     duplicated_span_coverage,
+    trim_duplicated_spans,
 )
 from clearcare_data_pipeline_spark.operators.textstats import words_expr
 from clearcare_data_pipeline_spark.sources.tables import load_table
@@ -63,6 +64,16 @@ def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
         F.coalesce(F.sum("dup_positions"), F.lit(0)).cast("long").alias("dup_positions"),
     )
+
+
+def q_doc_dup_span_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trim POLICY applied to the whole corpus (r13, Lee et al.
+    2022 §4): every maximal duplicated island cut, remainder kept —
+    one row per document with original/kept/removed token counts and
+    the trimmed text (token-normalized single-space join). Output is
+    linear in document count: prod scale class."""
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_duplicated_spans(docs, n=DUP_SPAN_N, min_docs=DUP_SPAN_MIN_DOCS)
 
 
 # DuckDB twins. Same tokenizer as the decontamination oracle; grams
@@ -130,12 +141,86 @@ GROUP BY a.source
 """
 
 
+def _trimmed_oracle() -> str:
+    """Interval-subtraction replay of trim_duplicated_spans: islands
+    by the identical lag() scan, then a per-token anti-join against
+    island ranges — restricted to AFFECTED docs so the oracle's token
+    explosion is bounded by trim volume, not corpus size; untouched
+    docs take the direct token re-join."""
+    n, md = DUP_SPAN_N, DUP_SPAN_MIN_DOCS
+    words = WORDS_SQL
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {words} AS w FROM documents
+),
+posx AS (
+  SELECT doc_id, w, unnest(range(0, len(w) - {n} + 1)) AS pos
+  FROM tok WHERE len(w) >= {n}
+),
+grams AS (
+  SELECT doc_id, pos, md5(array_to_string(w[pos + 1 : pos + {n}], ' ')) AS g
+  FROM posx
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= {md}
+),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {n}
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+numbered AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+),
+islands AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {n} AS e
+  FROM numbered GROUP BY doc_id, isl
+),
+affected AS (SELECT DISTINCT doc_id FROM islands),
+tp AS (
+  SELECT t.doc_id, unnest(t.w) AS tok, generate_subscripts(t.w, 1) - 1 AS i
+  FROM tok t JOIN affected USING (doc_id)
+),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.i FROM tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM islands il
+    WHERE il.doc_id = tp.doc_id AND tp.i >= il.s AND tp.i < il.e
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(tok, ' ' ORDER BY i) AS trimmed
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(len(t.w), 0) AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN aff.doc_id IS NOT NULL THEN coalesce(a.kept_n, 0)
+            ELSE coalesce(len(t.w), 0) END AS BIGINT) AS kept_tokens,
+  CAST(coalesce(len(t.w), 0)
+       - CASE WHEN aff.doc_id IS NOT NULL THEN coalesce(a.kept_n, 0)
+              ELSE coalesce(len(t.w), 0) END AS BIGINT) AS removed_tokens,
+  CASE WHEN aff.doc_id IS NOT NULL THEN coalesce(a.trimmed, '')
+       ELSE coalesce(array_to_string(t.w, ' '), '') END AS trimmed_text
+FROM documents d
+LEFT JOIN tok t USING (doc_id)
+LEFT JOIN affected aff USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_dup_span_coverage": q_doc_dup_span_coverage,
     "doc_dup_span_stats": q_doc_dup_span_stats,
+    "doc_dup_span_trimmed": q_doc_dup_span_trimmed,
 }
 
 ORACLES = {
     "doc_dup_span_coverage": _per_doc_oracle(),
     "doc_dup_span_stats": _stats_oracle(),
+    "doc_dup_span_trimmed": _trimmed_oracle(),
 }

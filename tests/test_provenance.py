@@ -276,3 +276,99 @@ def test_merge_is_cwd_independent(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     merged = json.loads(p.read_text())
     assert merged["provenance"]["matched"] == 1
+
+
+# --- r13 adversarial pass on the closure walk ---------------------------
+
+
+def test_empty_closure_is_a_hard_error():
+    """A hash over an empty closure is a constant that never
+    invalidates — the one place a silently-fake preserved gate entry
+    could hide. Both routes there must refuse: the excluded registry
+    package and a module outside the package entirely."""
+    P.closure_hash.cache_clear()
+    with pytest.raises(ValueError, match="empty code closure"):
+        P.closure_hash(f"{PKG}.queries")
+    with pytest.raises(ValueError, match="empty code closure"):
+        P.closure_hash("functools")
+
+
+def test_partial_or_registry_defined_query_fn_refused(monkeypatch):
+    """A registry entry that is a functools.partial (``__module__`` ==
+    'functools') or a function defined in the excluded registry
+    __init__ would previously hash an empty closure silently; now
+    query_code_hashes names the offender and refuses."""
+    import functools
+
+    import clearcare_data_pipeline_spark.queries as qpkg
+
+    real = all_queries()
+
+    def fake_registry():
+        out = dict(real)
+        out["evil_partial"] = functools.partial(real["q1_pricing_summary"], None)
+        return out
+
+    monkeypatch.setattr(qpkg, "all_queries", fake_registry)
+    with pytest.raises(ValueError, match="evil_partial"):
+        P.query_code_hashes(["evil_partial"])
+
+
+def test_remap_reresolves_to_new_module(monkeypatch):
+    """The exclusion of queries/__init__ rests on the claim that a
+    registry REMAP is still caught because the defining module is
+    re-resolved from the CURRENT registry. Prove it: remap a
+    relational query name onto a textops-defined function and the
+    recorded hash must become textops' closure hash."""
+    import clearcare_data_pipeline_spark.queries as qpkg
+
+    real = all_queries()
+    victim = "q1_pricing_summary"
+    impostor = real["doc_stats"]  # defined in queries.textops
+    assert real[victim].__module__ != impostor.__module__
+
+    def fake_registry():
+        out = dict(real)
+        out[victim] = impostor
+        return out
+
+    before = P.query_code_hashes([victim])[victim]
+    monkeypatch.setattr(qpkg, "all_queries", fake_registry)
+    after = P.query_code_hashes([victim])[victim]
+    assert after != before
+    assert after == P.closure_hash(impostor.__module__)
+
+
+def test_reexport_through_excluded_module_refused(monkeypatch):
+    """If an in-closure module ever imports FROM the excluded registry
+    package (a re-export chain — code flowing into query semantics
+    through a path the closure hash cannot see), hashing must refuse
+    rather than silently under-hash. Simulated at the reader level by
+    splicing such an import into operators/similarity.py."""
+    target = P.module_path(f"{PKG}.operators.similarity")
+    real = P._file_bytes.__wrapped__
+
+    def patched(path):
+        data = real(path)
+        if path == target:
+            data += (
+                b"\nfrom clearcare_data_pipeline_spark.queries import scale_class\n"
+            )
+        return data
+
+    monkeypatch.setattr(P, "_file_bytes", patched)
+    # clear the derived caches only — clear_caches() touches the now-
+    # patched plain-function _file_bytes
+    P._direct_imports.cache_clear()
+    P.import_closure.cache_clear()
+    P.closure_hash.cache_clear()
+    with pytest.raises(ValueError, match="re-export"):
+        P.query_code_hashes(["emb_cosine_topk"])
+
+
+def test_current_tree_has_no_excluded_imports_in_any_closure():
+    """The guard above is only exercised on a hypothetical tree; this
+    pins that TODAY no query closure imports from an excluded module
+    (so every current hash covers everything its query executes)."""
+    for name, fn in all_queries().items():
+        P.check_no_reexports_through_excluded(fn.__module__)

@@ -66,12 +66,14 @@ def test_spark_words_expr_produces_java_semantics(spark):
 
 def test_words_sql_and_words_expr_agree_per_case(spark):
     """End-to-end: the shared oracle snippet and the engine tokenizer
-    agree token-for-token on every adversarial case. trim() in both
-    only strips 0x20, so leading/trailing exotic whitespace exercises
-    the split, not the trim."""
+    agree token-for-token on every adversarial case. The snippet's
+    two-arg trim strips only 0x20 (matching Spark F.trim — r13
+    finding: DuckDB's BARE trim also strips Unicode Zs like NBSP), so
+    leading/trailing exotic whitespace exercises the split, not the
+    trim."""
     for name, (text, _) in CASES.items():
         duck = duckdb.sql(
-            f"SELECT {WORDS_SQL.replace('trim(text)', 'trim($1::VARCHAR)')}",
+            "SELECT " + WORDS_SQL.replace("trim(text, ' ')", "trim($1::VARCHAR, ' ')"),
             params=[text],
         ).fetchone()[0]
         spark_row = (
@@ -183,3 +185,141 @@ def test_gated_corpus_is_pure_ascii():
                 f'OR regexp_matches("{c}", \'[^\\x00-\\x7F]\')'
             ).fetchone()[0]
             assert n == 0, (p, c)
+
+
+def test_fingerprint_sql_parity_on_exotic_whitespace(spark):
+    """r13: the shared FINGERPRINT_SQL oracle snippet and the engine's
+    fingerprint_expr must produce the same md5 on texts whose only
+    difference is whitespace class membership — including U+000B
+    (squeezed by Java \\s, formerly missed by RE2 \\s) and NBSP
+    (squeezed by neither)."""
+    from clearcare_data_pipeline_spark.operators.textstats import fingerprint_expr
+    from clearcare_data_pipeline_spark.queries._textsql import FINGERPRINT_SQL
+
+    cases = [
+        "a b",            # plain space
+        "a\x0bb",         # vertical tab — the r12 divergence char
+        "a\fb",           # form feed
+        "a\t \n b",       # mixed run squeezes to one space
+        "a b",       # NBSP: NOT whitespace in either engine
+        " A  B ",         # trim + squeeze + lowercase
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text: string")
+    spark_fps = [
+        r["fp"] for r in
+        df.select(fingerprint_expr(F.col("text")).alias("fp")).collect()
+    ]
+    duck_fps = [
+        duckdb.sql(
+            f"SELECT {FINGERPRINT_SQL.replace('(text)', '($1::VARCHAR)', 1)}"
+            if False else
+            "SELECT " + FINGERPRINT_SQL.replace("text", "$1::VARCHAR"),
+            params=[c],
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert spark_fps == duck_fps
+    # and the squeeze really is class-sensitive: vt collapses to the
+    # same fp as a space, NBSP does not
+    assert spark_fps[0] == spark_fps[1] == spark_fps[2]
+    assert spark_fps[4] != spark_fps[0]
+
+
+def test_bpe_token_re_parity(spark):
+    """r13: BPE_TOKEN_RE (oracle) vs BPE_TOKEN_REGEX (engine, Java \\s
+    complement) must count identically — U+000B must be 'whitespace'
+    (not a symbol token) in both."""
+    from clearcare_data_pipeline_spark.operators.textstats import (
+        bpe_token_count_expr,
+    )
+    from clearcare_data_pipeline_spark.queries._textsql import BPE_TOKEN_RE
+
+    cases = ["ab 12!", "a\x0bb", "a b", "x_y", "...", "\x0b\x0b", ""]
+    df = spark.createDataFrame([(c,) for c in cases], "text: string")
+    spark_counts = [
+        r["n"] for r in
+        df.select(bpe_token_count_expr(F.col("text")).alias("n")).collect()
+    ]
+    duck_counts = [
+        duckdb.sql(
+            f"SELECT len(regexp_extract_all($1::VARCHAR, '{BPE_TOKEN_RE}'))",
+            params=[c],
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert spark_counts == duck_counts, (spark_counts, duck_counts)
+    # NBSP is a symbol token in both (not whitespace); vt is neither
+    assert duck_counts[1] == 2 and duck_counts[5] == 0 and duck_counts[2] == 3
+
+
+def test_payer_split_re_parity(spark):
+    """r13: the shared payer-split regexes vs the engine's
+    split_payer_name_id on bracket suffixes trailed by each
+    whitespace-class member."""
+    from clearcare_data_pipeline_spark.functions.text import split_payer_name_id
+    from clearcare_data_pipeline_spark.queries._textsql import (
+        PAYER_EXTRACT_RE,
+        PAYER_SPLIT_RE,
+    )
+
+    cases = [
+        "Aetna [AE1]",
+        "Aetna [AE1]\x0b",      # vt after bracket: still a match in Java
+        "Aetna [AE1] ",    # NBSP: NOT trailing ws -> no match
+        "Cigna",
+        "Odd ] [X]",
+        "[solo]",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s: string")
+    name_col, id_col = split_payer_name_id(F.col("s"))
+    spark_rows = [
+        (r["n"], r["i"]) for r in
+        df.select(name_col.alias("n"), id_col.alias("i")).collect()
+    ]
+    duck_rows = [
+        duckdb.sql(
+            f"SELECT CASE WHEN regexp_matches($1::VARCHAR, '{PAYER_SPLIT_RE}') "
+            f"THEN trim(regexp_extract($1::VARCHAR, '{PAYER_EXTRACT_RE}', 1), ' ') "
+            f"ELSE trim($1::VARCHAR, ' ') END, "
+            f"CASE WHEN regexp_matches($1::VARCHAR, '{PAYER_SPLIT_RE}') "
+            f"THEN trim(regexp_extract($1::VARCHAR, '{PAYER_EXTRACT_RE}', 2), ' ') "
+            f"ELSE '' END",
+            params=[c],
+        ).fetchone()
+        for c in cases
+    ]
+    assert spark_rows == duck_rows, list(zip(cases, spark_rows, duck_rows))
+
+
+def test_trim_parity_spark_vs_duckdb(spark):
+    """r13 finding, pinned per character: Spark F.trim strips ONLY
+    0x20. DuckDB's bare trim ALSO strips Unicode Zs (NBSP U+00A0,
+    EM SPACE U+2003) — so every oracle must use the two-arg
+    trim(x, ' ') (_textsql.trim_sql). This test fails if either
+    engine's trim semantics drift."""
+    from clearcare_data_pipeline_spark.queries._textsql import trim_sql
+
+    chars = {
+        "space": " ", "tab": "\t", "nl": "\n", "vt": "\x0b",
+        "ff": "\f", "cr": "\r", "nbsp": "\xa0", "emsp": " ",
+        "lsep": " ",
+    }
+    probes = {nm: f"{ch}x{ch}" for nm, ch in chars.items()}
+    df = spark.createDataFrame(
+        [(nm, s) for nm, s in probes.items()], "nm: string, s: string"
+    )
+    spark_out = {
+        r["nm"]: r["t"] for r in df.select("nm", F.trim("s").alias("t")).collect()
+    }
+    for nm, s in probes.items():
+        duck = duckdb.sql(
+            f"SELECT {trim_sql('$1::VARCHAR')}", params=[s]
+        ).fetchone()[0]
+        assert duck == spark_out[nm], (nm, repr(duck), repr(spark_out[nm]))
+        # the divergence this guards against is REAL: bare trim differs
+        bare = duckdb.sql("SELECT trim($1::VARCHAR)", params=[s]).fetchone()[0]
+        if nm in ("nbsp", "emsp"):
+            assert bare != duck, nm
+    # only the space probe actually trims
+    assert spark_out["space"] == "x"
+    assert all(v != "x" for k, v in spark_out.items() if k != "space")
