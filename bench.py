@@ -131,6 +131,10 @@ EXTENDED = EXTENDED_CORE + [
     # r12 addition: exact-substring dedup signal (per-source rollup —
     # exercises the full gram/dedup/window pipeline with tiny output)
     "doc_dup_span_stats",
+    # r13 additions: the trim POLICY on that signal (linear full-corpus
+    # rewrite output) and the incremental near-dup path
+    "doc_dup_span_trimmed",
+    "doc_incremental_minhash",
 ]
 
 HEADLINE = [

@@ -59,6 +59,60 @@ def incremental_exact_dedup(
     return fresh.join(keep, ["_fp", "doc_id"], "inner").drop("_fp")
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    seen_band_keys: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dup (r13 — closes the incremental gap
+    for MinHash that incremental_exact_dedup closes for exact dedup):
+    drop incoming docs that share any LSH band key with the history
+    store, and within the batch apply the smaller-id-wins rule — a
+    batch doc survives iff NONE of its band keys is owned by a
+    smaller batch doc id and NONE appears in history.
+
+    The rule is 'collides with any EARLIER doc', not 'any earlier
+    SURVIVOR', which is what makes it compose exactly: with the
+    history store holding the band keys of ALL previously ingested
+    docs (``seen_band_keys`` columns: band, band_key), running
+    history-then-batch is row-identical to one full-corpus run
+    (pinned in tests/test_minhash.py). Docs shorter than the shingle
+    width emit one whole-text shingle (shingles_expr), so identical
+    short docs are still caught; only empty/NULL texts emit nothing
+    and always survive.
+
+    Scale shape: signature stage is the one-pass k-min groupBy of
+    minhash_signatures; the history check is a keyed left-semi join on
+    (band, band_key) — at 100 TB the store is bucketed by band_key and
+    the join co-locates, touching no document payload; the in-batch
+    rule is one keyed min-aggregate + equi-join. No pair enumeration
+    anywhere."""
+    sh = doc_shingles(new_docs, n=shingle_n)
+    bands = lsh_band_keys(
+        minhash_signatures(sh, num_hashes=num_hashes), rows_per_band=rows_per_band
+    )
+    hist_hits = (
+        bands.join(
+            seen_band_keys.select("band", "band_key").distinct(),
+            ["band", "band_key"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    grp_min = bands.groupBy("band", "band_key").agg(F.min("doc_id").alias("_min_id"))
+    blocked = (
+        bands.join(grp_min, ["band", "band_key"])
+        .where(F.col("doc_id") > F.col("_min_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = hist_hits.unionByName(blocked).distinct()
+    return new_docs.join(dropped, "doc_id", "left_anti")
+
+
 def shingles_expr(tokens: Column, n: int = 5) -> Column:
     """Distinct word n-gram shingles from a pre-staged TOKEN ARRAY.
 

@@ -171,8 +171,8 @@ def q_charges_code_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_charges_unknown_code_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = clean_charges(charges_from_lineitem(spark, sf_dir), validate=False, dedup=False)
     return (
-        df.where(F.col("code_type").isNull() & (F.trim(F.coalesce("code_type_raw", F.lit("")), ' ') != ""))
-        .groupBy(F.upper(F.trim(F.col("code_type_raw"), ' ')).alias("raw_code_type"))
+        df.where(F.col("code_type").isNull() & (F.trim(F.coalesce("code_type_raw", F.lit(""))) != ""))
+        .groupBy(F.upper(F.trim(F.col("code_type_raw"))).alias("raw_code_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -307,7 +307,7 @@ def q_charges_code_type_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = clean_charges(charges_from_lineitem(spark, sf_dir), validate=False, dedup=False)
     return (
         df.where(F.col("code_type").isNotNull())
-        .groupBy(F.upper(F.trim(F.col("code_type_raw"), ' ')).alias("raw_code_type"))
+        .groupBy(F.upper(F.trim(F.col("code_type_raw"))).alias("raw_code_type"))
         .agg(F.array_join(F.sort_array(F.collect_set("code_type")), ",").alias("normalized_types"))
     )
 

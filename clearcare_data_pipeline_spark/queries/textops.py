@@ -482,8 +482,66 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_doc_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion NEAR-dup (r13): docs with id < 250 stand
+    in for the history band-key store; the planted near-duplicate
+    corpus is the incoming batch. Survivors = batch docs whose band
+    keys hit neither history nor a smaller batch doc id
+    (operators/dedup.incremental_minhash_dedup; history-then-batch ≡
+    full-run composition pinned in tests/test_minhash.py)."""
+    from clearcare_data_pipeline_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    hist_sh = doc_shingles(docs.where(F.col("doc_id") < _SEEN_MOD), n=_SHINGLE_N)
+    seen = (
+        lsh_band_keys(
+            minhash_signatures(hist_sh, num_hashes=_NUM_HASHES),
+            rows_per_band=_ROWS_PER_BAND,
+        )
+        .select("band", "band_key")
+        .distinct()
+    )
+    batch = corpus_near_dups(spark, sf_dir)
+    return incremental_minhash_dedup(
+        batch,
+        seen,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    ).select("doc_id", "lang", "source")
+
+
+# History bands fall out of the SAME batch band computation (history
+# docs are a subset of the batch corpus and banding is deterministic
+# per doc), so the oracle computes bands once and filters.
+_INCR_MINHASH_ORACLE = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+{_MINHASH_SQL},
+hist AS (
+  SELECT DISTINCT band, band_key FROM bands WHERE doc_id < {_SEEN_MOD}
+),
+hist_hits AS (
+  SELECT DISTINCT b.doc_id FROM bands b JOIN hist USING (band, band_key)
+),
+grp AS (
+  SELECT band, band_key, min(doc_id) AS min_id FROM bands GROUP BY band, band_key
+),
+blocked AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN grp USING (band, band_key)
+  WHERE b.doc_id > grp.min_id
+),
+dropped AS (
+  SELECT doc_id FROM hist_hits UNION SELECT doc_id FROM blocked
+)
+SELECT c.doc_id, c.lang, c.source FROM corpus c
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = c.doc_id)
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
+    "doc_incremental_minhash": q_doc_incremental_minhash,
     "doc_dup_groups": q_doc_dup_groups,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_incremental_dedup": q_doc_incremental_dedup,
@@ -497,6 +555,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_stats": _doc_stats_oracle(),
+    "doc_incremental_minhash": _INCR_MINHASH_ORACLE,
     "doc_dup_groups": _DUP_GROUPS_ORACLE,
     "doc_exact_dedup": _EXACT_DEDUP_ORACLE,
     "doc_incremental_dedup": _INCR_DEDUP_ORACLE,

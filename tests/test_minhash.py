@@ -81,3 +81,78 @@ def test_affine_permutation_matches_duckdb_replay(spark):
         f" + {c}) % {MINHASH_MOD}"
     ).fetchone()[0]
     assert spark_val == duck_val
+
+
+def _mk_corpus(spark, n_docs=30, seed=5):
+    """Corpus with planted near-dup chains across the id split."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(n_docs):
+        toks = [f"w{rng.randrange(25)}" for _ in range(rng.randint(8, 30))]
+        rows.append((d, " ".join(toks)))
+    # plant near-dups that straddle any midpoint split: copies of early
+    # docs with a perturbed tail, and a fresh pair inside the tail half
+    rows.append((n_docs + 1, rows[0][1] + " zz yy"))
+    rows.append((n_docs + 2, rows[1][1] + " qq"))
+    rows.append((n_docs + 3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    rows.append((n_docs + 4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u11"))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_incremental_minhash_composes_exactly(spark):
+    """r13 contract pin: history-then-batch ≡ one full-corpus run.
+    The history stores band keys of ALL ingested docs (not just
+    survivors) — that is what makes the smaller-id-wins rule compose
+    row-for-row."""
+    from clearcare_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = _mk_corpus(spark)
+    empty_hist = spark.createDataFrame([], "band: int, band_key: string")
+
+    # one-shot run over everything
+    full = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(docs, empty_hist).select("doc_id").collect()
+    }
+
+    # two-stage run: ingest ids < 15 first, then the rest with the
+    # FULL first batch's band keys as history
+    first = docs.where(F.col("doc_id") < 15)
+    second = docs.where(F.col("doc_id") >= 15)
+    s1 = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(first, empty_hist).select("doc_id").collect()
+    }
+    hist = lsh_band_keys(
+        minhash_signatures(doc_shingles(first, n=5), num_hashes=12), rows_per_band=3
+    ).select("band", "band_key").distinct()
+    s2 = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(second, hist).select("doc_id").collect()
+    }
+    assert s1 | s2 == full
+    assert s1 & s2 == set()
+    # sanity: the planted near-dups were actually dropped somewhere
+    dropped = {r["doc_id"] for r in docs.select("doc_id").collect()} - full
+    assert {31, 32, 34} <= dropped or {31, 32}.issubset(dropped)
+
+
+def test_incremental_minhash_short_and_empty_docs(spark):
+    """Short docs emit ONE whole-text shingle (shingles_expr), so
+    identical short docs are caught — smaller id wins; a unique short
+    doc and an empty doc (no shingles at all) survive."""
+    from clearcare_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "a b c d e f g h"), (4, "")],
+        "doc_id: long, text: string",
+    )
+    hist = spark.createDataFrame([], "band: int, band_key: string")
+    out = {r["doc_id"] for r in incremental_minhash_dedup(docs, hist).collect()}
+    assert out == {1, 3, 4}
