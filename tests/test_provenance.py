@@ -372,3 +372,23 @@ def test_current_tree_has_no_excluded_imports_in_any_closure():
     (so every current hash covers everything its query executes)."""
     for name, fn in all_queries().items():
         P.check_no_reexports_through_excluded(fn.__module__)
+
+
+def test_merge_stamps_digest_eras_per_entry(tmp_path):
+    """r13: digests are bound to their formula era (DIGEST_VERSION).
+    Merging artifacts from different eras must stamp each entry with
+    the era it ran under, so a later lineage check is mechanical, not
+    forensic."""
+    current = P.query_code_hashes(["doc_stats", "q1_pricing_summary"])
+    old_era = {"sf_dir": "x", "digest_version": 1,
+               "queries": {"doc_stats": _entry(
+                   code_hash=current["doc_stats"], digest="123")}}
+    new_era = {"sf_dir": "x", "digest_version": 2,
+               "queries": {"q1_pricing_summary": _entry(
+                   code_hash=current["q1_pricing_summary"], digest="456")}}
+    proc, merged = _run_merge(tmp_path, [old_era, new_era])
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert merged["queries"]["doc_stats"]["digest_version"] == 1
+    assert merged["queries"]["q1_pricing_summary"]["digest_version"] == 2
+    assert merged["digest_version"] == [1, 2]
+    assert "span digest formula eras" in proc.stdout

@@ -79,7 +79,17 @@ def main() -> int:
         with open(path) as f:
             doc = json.load(f)
         sf_dir = doc.get("sf_dir") or sf_dir
-        queries.update(doc.get("queries", {}))
+        # r13 (VERDICT r12): digests are breadcrumbs bound to the
+        # FORMULA era of their fresh run. Push the artifact-level
+        # digest_version down onto each entry it carried, so after
+        # merging artifacts from different eras every digest still
+        # names the formula that produced it — the r12 lineage check
+        # had to reconstruct this forensically.
+        era = doc.get("digest_version")
+        for name, entry in doc.get("queries", {}).items():
+            if era is not None and "digest" in entry:
+                entry.setdefault("digest_version", era)
+            queries[name] = entry
 
     provenance_block: dict | None = None
     if not args.no_check_provenance:
@@ -141,6 +151,9 @@ def main() -> int:
         ap.error("--waive without provenance checking makes no attestation")
 
     statuses = [v.get("status") for v in queries.values()]
+    eras = sorted({
+        v["digest_version"] for v in queries.values() if "digest_version" in v
+    })
     out = {
         "sf_dir": sf_dir,
         "passed": sum(s == "pass" for s in statuses),
@@ -149,6 +162,12 @@ def main() -> int:
         "merged_from": args.inputs,
         "queries": queries,
     }
+    if eras:
+        out["digest_version"] = eras[-1] if len(eras) == 1 else eras
+        if len(eras) > 1:
+            print(f"note: merged entries span digest formula eras {eras} — "
+                  "per-entry digest_version says which; do not compare "
+                  "digests across eras")
     if provenance_block is not None:
         out["provenance"] = provenance_block
     if args.note:
