@@ -90,9 +90,18 @@ def incremental_minhash_dedup(
     rule is one keyed min-aggregate + equi-join. No pair enumeration
     anywhere."""
     sh = doc_shingles(new_docs, n=shingle_n)
+    # One explicit hash repartition feeds all three band consumers
+    # below (history semi-join, per-bucket min aggregate, blocked
+    # join): the consumers' children canonicalize to the same Exchange
+    # and ReuseExchange materializes the signature pipeline ONCE — the
+    # naive form re-ran the corpus-sized shingle+md5+k-min chain once
+    # per consumer (3x; measured 16 scans / 28 exchanges in the r13
+    # before-plan, plans/r13/doc_incremental_minhash_before.txt). The
+    # aggregate and both joins are keyed on (band, band_key), so no
+    # consumer adds an exchange of its own on this side.
     bands = lsh_band_keys(
         minhash_signatures(sh, num_hashes=num_hashes), rows_per_band=rows_per_band
-    )
+    ).repartition("band", "band_key")
     hist_hits = (
         bands.join(
             seen_band_keys.select("band", "band_key").distinct(),
@@ -247,9 +256,20 @@ def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
 
 def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
     """Distinct (a, b) doc pairs (a < b) sharing at least one band —
-    a keyed self-join on (band, band_key), never a cross product."""
-    left = band_keys.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
-    right = band_keys.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
+    a keyed self-join on (band, band_key), never a cross product.
+
+    Both join sides derive from ONE explicit hash repartition of the
+    band frame (r13): the two children canonicalize to the same
+    Exchange, so ReuseExchange materializes the upstream signature
+    pipeline (scan -> shingle explode -> per-shingle md5 -> k-min
+    aggregate) once instead of once per side — the duplicated subtree
+    was the whole corpus-sized cost twice at every scale. The
+    repartition shuffles only the narrow (band, band_key, doc_id)
+    rows, a few rows per doc, and AQE may still coalesce or broadcast
+    downstream as before."""
+    shared = band_keys.repartition("band", "band_key")
+    left = shared.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("a"))
+    right = shared.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("b"))
     return (
         left.join(right, ["band", "band_key"])
         .where(F.col("a") < F.col("b"))

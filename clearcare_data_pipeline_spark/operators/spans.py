@@ -76,6 +76,20 @@ def positional_grams(
     )
 
 
+def _grams_by_key(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional grams explicitly hash-repartitioned by gram key
+    (r13): the coverage/island computations consume the gram frame
+    TWICE — the duplicated-gram aggregate (groupBy g) and the hits
+    equi-join (on g). Both consumers' children canonicalize to this
+    one Exchange, so ReuseExchange runs the corpus-sized
+    tokenize+md5 explode once instead of once per consumer, and
+    neither consumer needs an exchange of its own on this side (the
+    aggregate's output stays partitioned by g for the join)."""
+    return positional_grams(df, n, id_col, text_col).repartition("g")
+
+
 def duplicated_span_coverage(
     df: DataFrame,
     n: int = DUP_SPAN_N,
@@ -96,7 +110,7 @@ def duplicated_span_coverage(
     ``min_docs`` counts DISTINCT documents: an n-gram repeated only
     within one document is intra-doc repetition (doc_repetition_stats'
     signal), not corpus duplication."""
-    grams = positional_grams(df, n, id_col, text_col)
+    grams = _grams_by_key(df, n, id_col, text_col)
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -130,7 +144,7 @@ def duplicated_islands(
     single lag() comparison: a new island starts exactly when
     ``pos - prev_pos > n`` (``== n`` means the windows touch and the
     removed text range is contiguous)."""
-    grams = positional_grams(df, n, id_col, text_col)
+    grams = _grams_by_key(df, n, id_col, text_col)
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
