@@ -646,15 +646,12 @@ def semantic_dedup(
     unconditionally.
     """
     from clearcare_data_pipeline_spark.operators.similarity import (
+        DOT_UNROLL_MAX_DIM,
+        dot_expr,
+        dot_expr_fixed,
         probed_dot,
         with_norm,
     )
-
-    # the within-cluster pairwise scorer is the dot-heavy stage (r12
-    # sf10 attribution); the probed unrolled dot (bit-identical to the
-    # fold — see dot_expr_fixed's IEEE argument and the r11 digest A/B)
-    # moves it into whole-stage codegen. One bounded probe job.
-    dot = probed_dot(df, vec_col)
 
     if k is None:
         # O(cap) branch probe (VERDICT r8 #4a): LIMIT flat_max_n+1
@@ -663,7 +660,22 @@ def semantic_dedup(
         # measured +8% at sf10). Below the cap the limited count IS
         # the exact corpus count, which is all derive_k needs; above
         # it the hierarchy derives its own widths and never needs n.
-        n = df.limit(flat_max_n + 1).count()
+        # The same bounded job also probes the vector dimension for
+        # the unrolled-dot fast path (r13 — was a second probe job per
+        # run via probed_dot; any probed dim yields bit-identical
+        # scores because dot_expr_fixed falls back per-row on size
+        # mismatch and is IEEE-identical to the fold when it applies).
+        probe = df.limit(flat_max_n + 1).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size(F.col(vec_col))).alias("dim"),
+        ).collect()[0]
+        n = int(probe["n"])
+        pdim = int(probe["dim"]) if probe["dim"] is not None else 0
+        dot = (
+            (lambda a, b, _d=pdim: dot_expr_fixed(a, b, _d))
+            if 1 <= pdim <= DOT_UNROLL_MAX_DIM
+            else dot_expr
+        )
         if n <= flat_max_n:
             _cents, assigned = kmeans_fit(
                 df,
@@ -686,6 +698,12 @@ def semantic_dedup(
                 id_col=id_col,
             )
     else:
+        # the within-cluster pairwise scorer is the dot-heavy stage
+        # (r12 sf10 attribution); the probed unrolled dot
+        # (bit-identical to the fold — see dot_expr_fixed's IEEE
+        # argument and the r11 digest A/B) moves it into whole-stage
+        # codegen. One bounded probe job.
+        dot = probed_dot(df, vec_col)
         _cents, assigned = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     # Persisted: three consumers below (both pairwise sides + the final
     # projection) would otherwise each re-run the scan -> assignment

@@ -65,6 +65,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 12,
     rows_per_band: int = 3,
     shingle_n: int = 5,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-dup (r13 — closes the incremental gap
     for MinHash that incremental_exact_dedup closes for exact dedup):
@@ -88,8 +89,17 @@ def incremental_minhash_dedup(
     (band, band_key) — at 100 TB the store is bucketed by band_key and
     the join co-locates, touching no document payload; the in-batch
     rule is one keyed min-aggregate + equi-join. No pair enumeration
-    anywhere."""
-    sh = doc_shingles(new_docs, n=shingle_n)
+    anywhere.
+
+    ``band_keys`` (optional, r13): the (doc_id, band, band_key) frame
+    for ``new_docs`` when the caller has already computed it with the
+    SAME num_hashes/rows_per_band/shingle_n — e.g. because the history
+    store is derived from the same banding. Passing it lets the whole
+    plan hang off one shared banding subtree instead of building a
+    second identical one; it must be exactly
+    ``lsh_band_keys(minhash_signatures(doc_shingles(new_docs,
+    shingle_n), num_hashes), rows_per_band)`` or results are
+    undefined (pinned equal in tests/test_minhash.py)."""
     # One explicit hash repartition feeds all three band consumers
     # below (history semi-join, per-bucket min aggregate, blocked
     # join): the consumers' children canonicalize to the same Exchange
@@ -98,10 +108,15 @@ def incremental_minhash_dedup(
     # per consumer (3x; measured 16 scans / 28 exchanges in the r13
     # before-plan, plans/r13/doc_incremental_minhash_before.txt). The
     # aggregate and both joins are keyed on (band, band_key), so no
-    # consumer adds an exchange of its own on this side.
-    bands = lsh_band_keys(
-        minhash_signatures(sh, num_hashes=num_hashes), rows_per_band=rows_per_band
-    ).repartition("band", "band_key")
+    # consumer adds an exchange of its own on this side. (A caller-
+    # supplied band_keys frame may already carry the same repartition;
+    # CollapseRepartition folds the two nodes into one exchange.)
+    if band_keys is None:
+        band_keys = lsh_band_keys(
+            minhash_signatures(doc_shingles(new_docs, n=shingle_n), num_hashes=num_hashes),
+            rows_per_band=rows_per_band,
+        )
+    bands = band_keys.repartition("band", "band_key")
     hist_hits = (
         bands.join(
             seen_band_keys.select("band", "band_key").distinct(),
@@ -447,13 +462,22 @@ def cross_corpus_contamination(
     on extremely common passages for a bounded join; contaminated
     pairs share rare shingles overwhelmingly.
     """
+    # Each shingle frame feeds TWO consumers (the DF-cap aggregate and
+    # the shared-shingle join) whose column pruning differs, so their
+    # subtrees do not canonicalize equal and Spark would tokenize +
+    # hash each corpus twice. One explicit repartition on the join/agg
+    # key makes both consumers read the same Exchange (r13; same
+    # pattern as lsh_candidate_pairs) — the extra shuffled doc-id
+    # column is 8 bytes against a re-run of the whole explode.
     t_sh = (
         doc_shingles(train, id_col, text_col, n)
         .select(F.col("doc_id").alias("train_doc"), F.xxhash64("shingle").alias("sh"))
+        .repartition("sh")
     )
     e_sh = (
         doc_shingles(eval_df, id_col, text_col, n)
         .select(F.col("doc_id").alias("eval_doc"), F.xxhash64("shingle").alias("sh"))
+        .repartition("sh")
     )
     df_counts = (
         t_sh.select(F.col("train_doc").alias("d"), "sh")

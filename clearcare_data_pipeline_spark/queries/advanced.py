@@ -36,11 +36,24 @@ def q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
         "inner",
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    # Top-1-per-event as a MAX aggregate instead of a sort window
+    # (r13, guide §2.3 "aggregate before you shuffle"): the window
+    # form shuffled EVERY joined (event, order) row to sort it, while
+    # the struct-max hash aggregate collapses each event to one row
+    # map-side before the exchange — at scale each event matches many
+    # orders, so the shuffle shrinks by that multiplicity and the
+    # per-partition sort disappears. Equivalence: row_number()=1 over
+    # (o_orderdate DESC, o_orderkey DESC) picks exactly the
+    # lexicographic max of (o_orderdate, o_orderkey) — both non-NULL —
+    # and (user_id, ts) are functionally dependent on event_id;
+    # oracle-verified on the unchanged window-form SQL.
+    top = joined.groupBy("event_id", "user_id", "ts").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("_m")
+    )
+    return top.select(
+        "event_id", "user_id", "ts",
+        F.col("_m.o_orderkey").alias("o_orderkey"),
+        F.col("_m.o_orderdate").alias("o_orderdate"),
     )
 
 

@@ -514,7 +514,17 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _emb(spark, sf_dir)
     queries = vecs.where((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_ID_BOUND))
-    exact = cosine_topk(vecs, queries, k=_TOPK).select("query_id", "neighbor_id")
+    # The brute-force ground truth feeds TWO consumers (the hits join
+    # and the qids distinct); repartitioning its tiny top-k output by
+    # query_id makes both consumer subtrees canonicalize to one
+    # Exchange, so the O(queries x corpus) scorer + its window run
+    # once at runtime instead of once per consumer (r13; the exchange
+    # moves k rows per query, nothing corpus-sized).
+    exact = (
+        cosine_topk(vecs, queries, k=_TOPK)
+        .select("query_id", "neighbor_id")
+        .repartition("query_id")
+    )
     approx = ivf_topk(vecs, queries, k=_TOPK).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])

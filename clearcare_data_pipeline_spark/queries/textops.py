@@ -491,23 +491,41 @@ def q_doc_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-run composition pinned in tests/test_minhash.py)."""
     from clearcare_data_pipeline_spark.operators.dedup import incremental_minhash_dedup
 
-    docs = _docs(spark, sf_dir)
-    hist_sh = doc_shingles(docs.where(F.col("doc_id") < _SEEN_MOD), n=_SHINGLE_N)
-    seen = (
+    # History docs (doc_id < _SEEN_MOD) appear VERBATIM in the batch
+    # corpus and banding is deterministic per (doc_id, text), so the
+    # history band-key store is the batch banding filtered to history
+    # ids — exactly how the oracle below derives `hist`. Computing the
+    # banding ONCE and passing it through the operator's band_keys
+    # hook (r13) replaces the second identical shingle+md5+k-min
+    # pipeline the old query built for the history side; the
+    # localCheckpoint materializes the narrow (doc_id, band, band_key)
+    # frame so its FOUR consumers (history filter + the operator's
+    # three) read cached blocks instead of re-planning the pipeline —
+    # without it the optimizer pushes the doc_id filter back down and
+    # rebuilds a separate filtered pipeline per consumer (same-JVM A/B
+    # medians: 3.12 s original, 2.73 s lazy-shared, 1.85 s
+    # checkpointed; plans/r13/doc_incremental_minhash_*.txt).
+    batch = corpus_near_dups(spark, sf_dir)
+    bands = (
         lsh_band_keys(
-            minhash_signatures(hist_sh, num_hashes=_NUM_HASHES),
+            minhash_signatures(doc_shingles(batch, n=_SHINGLE_N), num_hashes=_NUM_HASHES),
             rows_per_band=_ROWS_PER_BAND,
         )
+        .repartition("band", "band_key")
+        .localCheckpoint()
+    )
+    seen = (
+        bands.where(F.col("doc_id") < _SEEN_MOD)
         .select("band", "band_key")
         .distinct()
     )
-    batch = corpus_near_dups(spark, sf_dir)
     return incremental_minhash_dedup(
         batch,
         seen,
         num_hashes=_NUM_HASHES,
         rows_per_band=_ROWS_PER_BAND,
         shingle_n=_SHINGLE_N,
+        band_keys=bands,
     ).select("doc_id", "lang", "source")
 
 

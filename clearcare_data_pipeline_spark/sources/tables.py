@@ -16,6 +16,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and a shuffle would only add cost.
 _DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
 
+# Parquet schema memo, keyed on the resolved file path (r13): without
+# a user-supplied schema every spark.read.parquet runs a footer-
+# inference JOB, so each query build paid one job per table load on
+# every bench run (q5 touches 6 tables = 6 jobs before any work).
+# Caching the inferred StructType and passing it back via
+# .schema(...) skips that job on every load after the first — exactly
+# what a catalog/metastore does. This memoizes METADATA only; every
+# execution still scans the parquet files.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one synthetic table. Explicit parquet (not
@@ -35,7 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microseconds (same truncation DuckDB applies casting
         # TIMESTAMP_NS -> TIMESTAMP).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if name not in _DIM_TABLES:

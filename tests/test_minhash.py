@@ -141,6 +141,41 @@ def test_incremental_minhash_composes_exactly(spark):
     assert {31, 32, 34} <= dropped or {31, 32}.issubset(dropped)
 
 
+def test_incremental_minhash_precomputed_bands_identical(spark):
+    """r13 optimization pin: passing a caller-computed band_keys frame
+    (the shared-banding fast path) is row-identical to letting the
+    operator compute the banding itself."""
+    from clearcare_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = _mk_corpus(spark)
+    hist = (
+        lsh_band_keys(
+            minhash_signatures(
+                doc_shingles(docs.where(F.col("doc_id") < 10), n=5), num_hashes=12
+            ),
+            rows_per_band=3,
+        )
+        .select("band", "band_key")
+        .distinct()
+    )
+    default = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(docs, hist).select("doc_id").collect()
+    }
+    bands = lsh_band_keys(
+        minhash_signatures(doc_shingles(docs, n=5), num_hashes=12), rows_per_band=3
+    )
+    pre = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(docs, hist, band_keys=bands)
+        .select("doc_id")
+        .collect()
+    }
+    assert pre == default
+
+
 def test_incremental_minhash_short_and_empty_docs(spark):
     """Short docs emit ONE whole-text shingle (shingles_expr), so
     identical short docs are caught — smaller id wins; a unique short
