@@ -419,6 +419,10 @@ def simhash_near_dup_pairs(
             )
         ).alias("block", "block_val"),
     )
+    # One shared exchange for the self-join (r13, same pattern as
+    # lsh_candidate_pairs): the signature/blocking pass runs once and
+    # the pigeonhole join is co-partitioned on (block, block_val).
+    blocks = blocks.repartition("block", "block_val")
     left = blocks.select(
         F.col("block"), F.col("block_val"),
         F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"),

@@ -526,9 +526,19 @@ def lsh_near_dup_pairs(
     else:
         dot = probed_dot(df)
         b = lsh_buckets(df, id_col, num_planes)
+    use_broadcast = flat and _vec_bytes_estimate(flat_dim, flat_rows) <= LSH_BROADCAST_BYTES_CAP
+    if not use_broadcast:
+        # Shuffle-join path: both sides derive from ONE explicit hash
+        # repartition so they canonicalize to the same Exchange (r13,
+        # same pattern as lsh_candidate_pairs) — the signature pass
+        # runs once and the (id, dvec, norm) payload crosses the wire
+        # once instead of once per side. The broadcast path below
+        # stays untouched: it has ZERO exchanges and a repartition
+        # would add one.
+        b = b.repartition("bucket")
     left = b.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("dvec").alias("va"), F.col("norm").alias("na"))
     right = b.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"))
-    if flat and _vec_bytes_estimate(flat_dim, flat_rows) <= LSH_BROADCAST_BYTES_CAP:
+    if use_broadcast:
         # the flat branch's corpus is <= flat_max_n rows by the probe,
         # so the bucket self-join broadcasts its right side: zero
         # shuffles, one stage, instead of two exchanges over a tiny
@@ -614,7 +624,12 @@ def lsh_banded_pairs(
         "norm",
         F.col("_bb.band").alias("band"),
         F.col("_bb.bucket").alias("bucket"),
-    )
+    # One shared exchange for the self-join (r13, same pattern as
+    # lsh_candidate_pairs): the n_bands-signature pass runs once and
+    # the vector payload crosses the wire once instead of once per
+    # join side; the join is then co-partitioned on (band, bucket)
+    # and adds no exchange of its own.
+    ).repartition("band", "bucket")
     left = e.select(
         "band", "bucket", F.col(id_col).alias("a"),
         F.col("dvec").alias("va"), F.col("norm").alias("na"),
