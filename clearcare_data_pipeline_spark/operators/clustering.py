@@ -319,7 +319,20 @@ def hierarchical_assign(
                 .where(F.col("count") > target_width)
                 .select("cluster")
             )
-            n_split = split_df.count()
+            # ONE capped collect answers three questions the level used
+            # to spend two jobs on (r13): is the split set empty, does
+            # it exceed the driver-exchange cap, and — when it does not
+            # — the id list the driver exchange needs (the old code ran
+            # a count job AND a collect job). The cap bounds the
+            # driver footprint at HIER_DRIVER_CENTROID_CAP // branch
+            # + 1 bigint rows; only a level that overflows it (the
+            # join-exchange regime) still pays a count job, and only
+            # for the broadcast-vs-shuffle split-set decision + stats.
+            cap_rows = HIER_DRIVER_CENTROID_CAP // branch + 1
+            head = split_df.limit(cap_rows).collect()
+            n_split = len(head)
+            if n_split >= cap_rows:
+                n_split = split_df.count()
             t_split = _time.time()
             if n_split == 0:
                 # The fixed-depth oracle replay re-encodes ids by `enc`
@@ -357,7 +370,10 @@ def hierarchical_assign(
                     join_levels += 1
                     final_sub = _split_level_join(work, branch, iters)
                 else:
-                    split_ids = sorted(r["cluster"] for r in split_df.collect())
+                    # the driver path only runs when n_split fit under
+                    # the cap, so `head` IS the complete split set —
+                    # no second collect
+                    split_ids = sorted(r["cluster"] for r in head)
                     final_sub = _split_level_driver(work, split_ids, branch, iters)
                 t_exchange = _time.time()
                 cur = (
