@@ -466,22 +466,23 @@ def cross_corpus_contamination(
     on extremely common passages for a bounded join; contaminated
     pairs share rare shingles overwhelmingly.
     """
-    # Each shingle frame feeds TWO consumers (the DF-cap aggregate and
-    # the shared-shingle join) whose column pruning differs, so their
-    # subtrees do not canonicalize equal and Spark would tokenize +
-    # hash each corpus twice. One explicit repartition on the join/agg
-    # key makes both consumers read the same Exchange (r13; same
-    # pattern as lsh_candidate_pairs) — the extra shuffled doc-id
-    # column is 8 bytes against a re-run of the whole explode.
+    # r13 optimization note — measured and deliberately NOT shared:
+    # each shingle frame feeds two consumers (DF-cap aggregate +
+    # shared-shingle join) whose column pruning differs, and an
+    # explicit repartition("sh") did not produce runtime exchange
+    # reuse (ColumnPruning pushes the narrower Project below the
+    # repartition, splitting the exchanges again) while costing the
+    # aggregate leg its map-side partial aggregation — same finding
+    # as operators/spans.py _grams_by_key. The duplicated explode
+    # below the legs shares its scan exchange via AQE's runtime stage
+    # cache.
     t_sh = (
         doc_shingles(train, id_col, text_col, n)
         .select(F.col("doc_id").alias("train_doc"), F.xxhash64("shingle").alias("sh"))
-        .repartition("sh")
     )
     e_sh = (
         doc_shingles(eval_df, id_col, text_col, n)
         .select(F.col("doc_id").alias("eval_doc"), F.xxhash64("shingle").alias("sh"))
-        .repartition("sh")
     )
     df_counts = (
         t_sh.select(F.col("train_doc").alias("d"), "sh")

@@ -79,15 +79,23 @@ def positional_grams(
 def _grams_by_key(
     df: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """Positional grams explicitly hash-repartitioned by gram key
-    (r13): the coverage/island computations consume the gram frame
-    TWICE — the duplicated-gram aggregate (groupBy g) and the hits
-    equi-join (on g). Both consumers' children canonicalize to this
-    one Exchange, so ReuseExchange runs the corpus-sized
-    tokenize+md5 explode once instead of once per consumer, and
-    neither consumer needs an exchange of its own on this side (the
-    aggregate's output stays partitioned by g for the join)."""
-    return positional_grams(df, n, id_col, text_col).repartition("g")
+    """Positional grams for the two span consumers (the duplicated-
+    gram aggregate and the hits equi-join).
+
+    r13 optimization note — measured and deliberately NOT shared: an
+    explicit repartition("g") was tried so both consumers would reuse
+    one Exchange, but the consumers' column pruning differs (the
+    aggregate needs (g, doc_id), the join needs all four columns) and
+    ColumnPruning pushes the narrower Project BELOW the repartition,
+    splitting the exchanges again — runtime ReusedExchange stayed 0
+    while the dup leg LOST its map-side partial aggregation. A
+    localCheckpoint of the corpus-token-sized gram frame also lost
+    (same-JVM A/B medians at sf0.1: original 2.215 s, repartition
+    2.225 s, checkpoint 2.441 s). The duplicated tokenize+md5 below
+    the two legs is reused at the scan exchange by AQE's runtime
+    stage cache; what remains duplicated is cheaper than either
+    alternative at every measured point."""
+    return positional_grams(df, n, id_col, text_col)
 
 
 def duplicated_span_coverage(
