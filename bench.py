@@ -74,6 +74,7 @@ def compact_record(
     calibration_spread: float,
     calibration_unstable: bool,
     sf: float,
+    steal_pct: float | None = None,
 ) -> dict:
     """The tail-truncation-proof record printed as the LAST stdout
     line (VERDICT r11 #3): every driver-contract field (metric /
@@ -93,6 +94,7 @@ def compact_record(
             if CAL_REF_SEC and calibration_sec
             else {}
         ),
+        **({"steal_pct": steal_pct} if steal_pct is not None else {}),
         "sf": sf,
     }
 
@@ -154,6 +156,42 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_near_dup_pairs",
 ]
+
+
+def _steal_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate cpu line of
+    /proc/stat, or None where unavailable.
+
+    VERDICT r13 #1: this sandbox suffers hypervisor CPU-steal bursts
+    (~40% cumulative steal; a fixed probe spanned 1.47-27.76 s across a
+    stall window), and nothing in the artifact let a reader *reject* a
+    contaminated run mechanically. Steal ticks are the hypervisor's own
+    account of capacity taken from this guest, so a per-query delta
+    turns "trust me, it was a stall" into data. Additions-only: nothing
+    in the timed path changes; sampling is two small file reads per
+    query, outside the timers.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        # user nice system idle iowait irq softirq steal [guest ...]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals[:8])
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """Percent of machine capacity stolen between two samples."""
+    if before is None or after is None:
+        return None
+    d_total = after[1] - before[1]
+    if d_total <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / d_total, 2)
 
 
 def _force_gc(spark) -> None:
@@ -452,14 +490,21 @@ def main() -> None:
     def _selected(names):
         return [n for n in names if not only or n in only]
 
+    run_steal0 = _steal_sample()
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    steals: dict[str, float] = {}
     for name in _selected(HEADLINE):
         if name not in queries:
             continue
+        s0 = _steal_sample()
         runs = _time_runs(
             lambda: _materialize(queries[name](spark, sf_dir)), spark=spark
         )
+        sp = _steal_pct(s0, _steal_sample())
+        if sp is not None:
+            steals[name] = sp
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
@@ -467,14 +512,19 @@ def main() -> None:
     for name in _selected(EXTENDED) if not headline_only else []:
         if name not in queries:
             continue
+        s0 = _steal_sample()
         runs = _time_runs(
             lambda: _materialize(queries[name](spark, sf_dir)), spark=spark
         )
+        sp = _steal_pct(s0, _steal_sample())
+        if sp is not None:
+            steals[name] = sp
         ext_timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(_trimmed_spread(runs), 3)
 
     skew_demo = _skew_demo(spark, sf_dir) if not (headline_only or only) else {}
 
+    run_steal_pct = _steal_pct(run_steal0, _steal_sample())
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -497,6 +547,12 @@ def main() -> None:
                     if CAL_REF_SEC and calibration_sec
                     else {}
                 ),
+                # hypervisor steal over the whole timed window and per
+                # query (VERDICT r13 #1): steal_pct near 0 = quiet host;
+                # a double-digit run-level value, or a spike on one
+                # query, marks that measurement machine-contaminated
+                **({"steal_pct": run_steal_pct} if run_steal_pct is not None else {}),
+                **({"query_steal_pct": steals} if steals else {}),
                 "derivation_sec": derivation_warm,
                 "derivation_cold_sec": derivation_cold,
                 "extended": ext_timings,
@@ -525,7 +581,7 @@ def main() -> None:
         json.dumps(
             compact_record(
                 total, timings, calibration_sec, calibration_spread,
-                calibration_unstable, sf,
+                calibration_unstable, sf, steal_pct=run_steal_pct,
             )
         )
     )

@@ -370,10 +370,15 @@ def hierarchical_assign(
                     join_levels += 1
                     final_sub = _split_level_join(work, branch, iters)
                 else:
-                    # the driver path only runs when n_split fit under
-                    # the cap, so `head` IS the complete split set —
-                    # no second collect
-                    split_ids = sorted(r["cluster"] for r in head)
+                    # in auto mode the driver path only runs when
+                    # n_split fit under the cap, so `head` IS the
+                    # complete split set; forced exchange="driver" can
+                    # overflow the cap, and a truncated head would
+                    # silently leave the missing clusters unsplit —
+                    # re-collect the full set in that case (the caller
+                    # chose driver-sized state explicitly)
+                    rows = head if len(head) < cap_rows else split_df.collect()
+                    split_ids = sorted(r["cluster"] for r in rows)
                     final_sub = _split_level_driver(work, split_ids, branch, iters)
                 t_exchange = _time.time()
                 cur = (

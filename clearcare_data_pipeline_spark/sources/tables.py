@@ -16,15 +16,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and a shuffle would only add cost.
 _DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
 
-# Parquet schema memo, keyed on the resolved file path (r13): without
-# a user-supplied schema every spark.read.parquet runs a footer-
-# inference JOB, so each query build paid one job per table load on
-# every bench run (q5 touches 6 tables = 6 jobs before any work).
-# Caching the inferred StructType and passing it back via
-# .schema(...) skips that job on every load after the first — exactly
-# what a catalog/metastore does. This memoizes METADATA only; every
-# execution still scans the parquet files.
-_SCHEMA_CACHE: dict[str, object] = {}
+# Parquet schema memo (r13): without a user-supplied schema every
+# spark.read.parquet runs a footer-inference JOB, so each query build
+# paid one job per table load on every bench run (q5 touches 6 tables
+# = 6 jobs before any work). Caching the inferred StructType and
+# passing it back via .schema(...) skips that job on every load after
+# the first — exactly what a catalog/metastore does. This memoizes
+# METADATA only; every execution still scans the parquet files.
+# Keyed on (path, mtime, size) — ADVICE r13 #2: a path-only key served
+# a stale schema when a fixture was regenerated in-place (e.g. a test
+# rewriting testdata); the stat pair invalidates the memo the way a
+# metastore's table version would. The stat call is ~1 us, noise next
+# to the ~100 ms inference job it replaces.
+_SCHEMA_CACHE: dict[tuple[str, float, int], object] = {}
+
+
+def _schema_key(path: str) -> tuple[str, float, int]:
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime, st.st_size)
+    except OSError:
+        # directory-style parquet or vanished path: stat the dir entry
+        # itself if possible, else fall back to a path-only key
+        return (path, 0.0, -1)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,10 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NS -> TIMESTAMP).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cached = _SCHEMA_CACHE.get(path)
+    key = _schema_key(path)
+    cached = _SCHEMA_CACHE.get(key)
     if cached is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(cached).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

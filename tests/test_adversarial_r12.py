@@ -97,6 +97,7 @@ def test_fingerprint_tail_window_is_length_bounded(tmp_path):
 # --- (b) dot_expr_fixed NULL-element semantics --------------------------
 
 
+@pytest.mark.slow
 def test_dot_unrolled_and_fold_agree_on_null_element(spark):
     """The adversarial row VERDICT r11 asked for: size == dim but one
     element NULL. The per-row guard checks SIZES only, so this row
@@ -156,6 +157,7 @@ def test_dot_null_element_matches_duckdb_oracle_form():
 # --- (c) pigeonhole block-join == all-pairs, pinned directly ------------
 
 
+@pytest.mark.slow
 def test_pigeonhole_block_join_equals_all_pairs_on_distinct_sigs(spark):
     """The count-form oracle's argument (queries/textops.py): any pair
     at hamming <= 3 < 4 blocks agrees exactly on >= 1 of the 4 16-bit

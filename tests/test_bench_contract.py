@@ -74,3 +74,29 @@ def test_compact_record_parses_as_last_line_after_full_record():
     doc = json.loads(last)
     assert doc["value"] == 16.421
     assert doc["queries"] == timings
+
+
+def test_steal_sampling_fields(monkeypatch):
+    """VERDICT r13 #1: the artifact records hypervisor steal so a
+    contaminated run can be rejected mechanically. The compact record
+    carries the run-level steal_pct when available and stays small."""
+    rec = bench.compact_record(
+        total=16.421,
+        timings=_full_headline_timings(),
+        calibration_sec=2.068,
+        calibration_spread=0.034,
+        calibration_unstable=False,
+        sf=0.1,
+        steal_pct=3.14,
+    )
+    assert rec["steal_pct"] == 3.14
+    assert len(json.dumps(rec)) <= bench.DRIVER_TAIL_CHARS // 2
+    # absent sample -> field omitted, never null
+    rec2 = bench.compact_record(1.0, {}, 2.0, 0.1, False, 0.1, steal_pct=None)
+    assert "steal_pct" not in rec2
+    # the delta helper: 10 steal ticks over 1000 total = 1%
+    assert bench._steal_pct((100, 10_000), (110, 11_000)) == 1.0
+    assert bench._steal_pct(None, (1, 2)) is None
+    assert bench._steal_pct((1, 2), (1, 2)) is None  # zero-width window
+    s = bench._steal_sample()
+    assert s is None or (len(s) == 2 and s[1] >= s[0] >= 0)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 from pyspark.sql import functions as F
 
@@ -34,6 +36,7 @@ def test_price_coerce_to_null(spark):
     assert _one(spark, clean_price_expr(F.col("x")), x=None) is None
 
 
+@pytest.mark.slow
 def test_price_placeholder_and_nonpositive(spark):
     assert _one(spark, clean_price_expr(F.col("x")), x="999999999") is None
     assert _one(spark, clean_price_expr(F.col("x")), x="0") is None
@@ -43,6 +46,7 @@ def test_price_placeholder_and_nonpositive(spark):
     assert _one(spark, clean_price_expr(F.col("x"), exempt=True), x="-10") == -10.0
 
 
+@pytest.mark.slow
 def test_scrub_invalid_tokens(spark):
     for tok in ["N/A", "n/a", "NA", "not applicable", "Not Applicable", " na "]:
         assert _one(spark, scrub_invalid_token_expr(F.col("x")), x=tok) == ""
@@ -69,6 +73,7 @@ def test_code_type_normalization(spark):
     assert _one(spark, normalize_code_type_expr(F.col("x")), x="LOCAL") is None
 
 
+@pytest.mark.slow
 def test_code_format_validation(spark):
     valid = [
         ("12345", "CPT"), ("A1234", "HCPCS"), ("99213", "HCPCS"),

@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clearcare_data_pipeline_spark.operators.clustering import kmeans_fit  # noqa: E402
@@ -118,6 +120,7 @@ def test_semantic_dedup_releases_cache(spark):
     assert out.count() == len(_vec_rows())
 
 
+@pytest.mark.slow
 def test_semantic_dedup_flags_planted_copies(spark):
     """Exact copies (cos = 1.0) land in the same cluster and must be
     the flagged duplicates; the lower-id originals are kept."""
@@ -145,6 +148,7 @@ def test_semantic_dedup_flags_planted_copies(spark):
             assert not r["is_dup"], f"original {r['vec_id']} wrongly flagged"
 
 
+@pytest.mark.slow
 def test_hierarchical_join_exchange_bit_identical(spark):
     """VERDICT r7 #6: the keyed-join centroid exchange (the 100 TB
     path, forced via exchange='join') must emit exactly the driver
@@ -186,6 +190,7 @@ def test_hierarchical_exchange_rejects_bad_mode(spark):
         hierarchical_assign(df, exchange="banana")
 
 
+@pytest.mark.slow
 def test_semantic_dedup_crossover_paths_flag_planted_copies(spark):
     """VERDICT r7 #3: auto partitioning is count-keyed — small corpora
     take flat auto-k Lloyd's, large ones the hierarchy (forced here
@@ -215,6 +220,7 @@ def test_semantic_dedup_crossover_paths_flag_planted_copies(spark):
                 assert r["cluster"] == rows[vid - 500000]["cluster"]
 
 
+@pytest.mark.slow
 def test_hierarchical_auto_trigger_without_collect(spark, monkeypatch):
     """VERDICT r8 #7: the auto exchange trigger derives from the
     DataFrame-side splitting-cluster count — forcing the cap to 0 must
@@ -241,6 +247,7 @@ def test_hierarchical_auto_trigger_without_collect(spark, monkeypatch):
     }
 
 
+@pytest.mark.slow
 def test_hierarchical_shuffle_join_split_set_bit_identical(spark, monkeypatch):
     """VERDICT r8 #2: above HIER_SPLIT_BROADCAST_CAP the split set
     joins by shuffle instead of broadcast — forced via cap 0, the
@@ -258,6 +265,33 @@ def test_hierarchical_shuffle_join_split_set_bit_identical(spark, monkeypatch):
     out = clustering.hierarchical_assign(
         vecs, target_width=8, branch=4, iters=2, max_levels=3
     )
+    assert {(r.vec_id, r.cluster) for r in out.collect()} == {
+        (r.vec_id, r.cluster) for r in ref.collect()
+    }
+
+
+@pytest.mark.slow
+def test_hierarchical_forced_driver_over_cap_recollects(spark, monkeypatch):
+    """ADVICE r13: forced exchange='driver' with a split set overflowing
+    HIER_DRIVER_CENTROID_CAP must not act on the truncated capped head —
+    the driver branch re-collects the full split set, so assignments
+    match the uncapped driver run exactly."""
+    from clearcare_data_pipeline_spark.operators import clustering
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ref = clustering.hierarchical_assign(
+        vecs, target_width=8, branch=4, iters=2, max_levels=3, exchange="driver"
+    )
+    monkeypatch.setattr(clustering, "HIER_DRIVER_CENTROID_CAP", 0)
+    stats = {}
+    out = clustering.hierarchical_assign(
+        vecs, target_width=8, branch=4, iters=2, max_levels=3,
+        stats=stats, exchange="driver",
+    )
+    assert stats["join_levels"] == 0 and stats["levels"] > 0
     assert {(r.vec_id, r.cluster) for r in out.collect()} == {
         (r.vec_id, r.cluster) for r in ref.collect()
     }

@@ -12,6 +12,7 @@ def _chain(spark, n):
     return nodes, edges
 
 
+@pytest.mark.slow
 def test_long_chain_converges(spark):
     # Diameter 29 > default checkpoint interval; exercises the
     # localCheckpoint lineage-truncation path several times over.
@@ -36,6 +37,7 @@ def test_two_components(spark):
     assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
 
 
+@pytest.mark.slow
 def test_pagerank_star_graph(spark):
     """Hub of a star graph must outrank the leaves; ranks stay in a
     simplex-ish range under the no-dangling-redistribution form."""

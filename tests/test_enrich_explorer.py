@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import Row
@@ -58,6 +60,7 @@ def test_prepare_cms_keys_slug_and_zip(spark):
     assert keyed["General Hospital of Springfield"]["campus_id"] == "general_springfield"
 
 
+@pytest.mark.slow
 def test_enrich_exact_and_fuzzy(spark):
     enriched, unmatched = enrich_registry(_registry(spark), _cms(spark))
     rows = {r["campus_id"]: r for r in enriched.collect()}

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 import __spark_entry__ as entrymod
@@ -21,6 +23,7 @@ def test_oracle_keys_subset_of_queries():
     assert len(q) >= 25
 
 
+@pytest.mark.slow
 def test_oracles_parse_in_duckdb():
     """Every oracle must at least be valid DuckDB SQL against the views."""
     con = duckdb.connect()

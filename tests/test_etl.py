@@ -51,6 +51,7 @@ def test_registry_lookup_and_upsert(spark, registry_path):
     assert lookup_campus(reg2, "new_campus")["hospital_name"] == "New One"
 
 
+@pytest.mark.slow
 def test_run_etl_tall_end_to_end(spark, registry_path, tmp_path):
     out = str(tmp_path / "out")
     res = run_etl(
@@ -88,6 +89,7 @@ def test_run_etl_format_dispatch_errors(spark, registry_path, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_run_etl_twice_appends_devlog(spark, registry_path, tmp_path):
     out = str(tmp_path / "out")
     kw = dict(
@@ -102,6 +104,7 @@ def test_run_etl_twice_appends_devlog(spark, registry_path, tmp_path):
         assert len(json.load(f)) == 2
 
 
+@pytest.mark.slow
 def test_export_reference_csv(spark, registry_path, tmp_path):
     out = str(tmp_path / "out")
     res = run_etl(

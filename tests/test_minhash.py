@@ -8,6 +8,8 @@ recall of the LSH pipeline rest on.
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 from pyspark.sql import functions as F
 
@@ -101,6 +103,7 @@ def _mk_corpus(spark, n_docs=30, seed=5):
     return spark.createDataFrame(rows, "doc_id: long, text: string")
 
 
+@pytest.mark.slow
 def test_incremental_minhash_composes_exactly(spark):
     """r13 contract pin: history-then-batch ≡ one full-corpus run.
     The history stores band keys of ALL ingested docs (not just
@@ -141,6 +144,7 @@ def test_incremental_minhash_composes_exactly(spark):
     assert {31, 32, 34} <= dropped or {31, 32}.issubset(dropped)
 
 
+@pytest.mark.slow
 def test_incremental_minhash_precomputed_bands_identical(spark):
     """r13 optimization pin: passing a caller-computed band_keys frame
     (the shared-banding fast path) is row-identical to letting the

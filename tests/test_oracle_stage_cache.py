@@ -51,6 +51,7 @@ def stage_cache(tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_cached_oracles_match_canonical(stage_cache, monkeypatch):
     monkeypatch.delenv(oe.ORACLE_STAGE_ENV, raising=False)
     canonical = _fresh_oracles()

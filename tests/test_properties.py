@@ -31,6 +31,7 @@ def _run_batch(spark, expr_builder, values: list[str]):
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(money_noise, min_size=1, max_size=50))
+@pytest.mark.slow
 def test_price_cleaning_invariants(spark, values):
     out = _run_batch(spark, clean_price_expr, values)
     for v in out:
@@ -40,6 +41,7 @@ def test_price_cleaning_invariants(spark, values):
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(free_text, min_size=1, max_size=50))
+@pytest.mark.slow
 def test_scrub_idempotent(spark, values):
     once = _run_batch(spark, scrub_invalid_token_expr, values)
     twice = _run_batch(spark, scrub_invalid_token_expr, [v if v is not None else "" for v in once])
@@ -48,6 +50,7 @@ def test_scrub_idempotent(spark, values):
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(free_text, min_size=1, max_size=50))
+@pytest.mark.slow
 def test_text_normalization_idempotent(spark, values):
     from clearcare_data_pipeline_spark.schema import WHITESPACE_CHARS
 
@@ -62,6 +65,7 @@ def test_text_normalization_idempotent(spark, values):
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.text(alphabet="abtc 2659|,GZ", min_size=0, max_size=20), min_size=1, max_size=50))
+@pytest.mark.slow
 def test_modifier_normalization_invariants(spark, values):
     out = _run_batch(spark, normalize_modifiers_expr, values)
     for v in out:
@@ -123,6 +127,7 @@ _kv_lists = st.lists(
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_kv_lists, _kv_lists)
+@pytest.mark.slow
 def test_merge_upsert_invariants(spark, target_rows, update_rows):
     from clearcare_data_pipeline_spark.operators.merge import merge_upsert
 
@@ -142,6 +147,7 @@ def test_merge_upsert_invariants(spark, target_rows, update_rows):
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40))
+@pytest.mark.slow
 def test_quality_row_check_counts(spark, values):
     from clearcare_data_pipeline_spark.operators.quality import row_check_report
 

@@ -5,6 +5,8 @@ quadratic join so output (and oracle cost) stays bounded at sf10+."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clearcare_data_pipeline_spark.queries import relational, textops
@@ -12,6 +14,7 @@ from clearcare_data_pipeline_spark.queries import relational, textops
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_simhash_near_dup_counts_match_listing(spark):
     listing = (
         textops.q_doc_simhash_near_dups(spark, SF)

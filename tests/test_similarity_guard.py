@@ -85,6 +85,7 @@ def test_near_dup_pairs_finds_planted_copies(spark):
         assert (i, i + 1000) in pairs
 
 
+@pytest.mark.slow
 def test_near_dup_crossover_flat_equals_fixed_width(spark):
     """r8 count-keyed crossover: below LSH_FLAT_MAX_N the default path
     IS the fixed LSH_FLAT_PLANES-plane bucketing — identical pair set
@@ -199,6 +200,7 @@ def test_bucket_oracle_agrees_beyond_plane_dim(spark):
 
 
 
+@pytest.mark.slow
 def test_banded_one_band_equals_flat_pairs(spark):
     """band 0 is exactly the flat plane family, so n_bands=1 must
     reproduce lsh_near_dup_pairs' flat-branch pair set."""
@@ -226,6 +228,7 @@ def test_banded_one_band_equals_flat_pairs(spark):
     assert routed >= flat  # OR construction can only add pairs
 
 
+@pytest.mark.slow
 def test_lsh_recall_gate_reaches_target(spark):
     """VERDICT r8 #6 'done' criterion: a recall >= 0.9 configuration
     demonstrated on planted near-dups (noisy copies at cos ~ 0.996 —
@@ -268,6 +271,7 @@ def test_banded_forwards_num_planes(spark, monkeypatch):
         similarity.lsh_near_dup_pairs(df, n_bands=2, flat_max_n=5)
 
 
+@pytest.mark.slow
 def test_flat_broadcast_gated_on_bytes(spark, monkeypatch):
     """ADVICE r9 #3: the flat branch's self-join broadcast is gated on
     estimated bytes (rows x dim x 8), not row count — wide embeddings

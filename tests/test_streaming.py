@@ -1,6 +1,7 @@
 """Structured Streaming mode tests (availableNow over file sources)."""
 
 from __future__ import annotations
+import pytest
 
 import json
 import shutil
@@ -35,6 +36,7 @@ def _charges_csv_line(code="12345", code_type="CPT", price="100", minp="80", max
     return ",".join(row[c] for c in CANONICAL_COLUMNS)
 
 
+@pytest.mark.slow
 def test_stream_clean_splits_clean_and_quarantine(spark, tmp_path):
     inp, out, chk = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "chk")
     (tmp_path / "in").mkdir()
@@ -58,6 +60,7 @@ def test_stream_clean_splits_clean_and_quarantine(spark, tmp_path):
     assert spark.read.parquet(f"{out}/clean").count() == 2
 
 
+@pytest.mark.slow
 def test_stream_event_window_counts(spark, tmp_path):
     inp, out, chk = str(tmp_path / "ein"), str(tmp_path / "eout"), str(tmp_path / "echk")
     (tmp_path / "ein").mkdir()
@@ -95,6 +98,7 @@ def test_stream_dedup_events(spark, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {1, 2}
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, tmp_path):
     from clearcare_data_pipeline_spark.streaming.joins import stream_click_attribution
 
@@ -226,6 +230,7 @@ def test_merge_sink_time_travel_and_vacuum(spark, tmp_path):
     assert read_merge_target(spark, target).collect()[0].v == 2.0
 
 
+@pytest.mark.slow
 def test_stream_session_counts(spark, tmp_path):
     import json as j
 
@@ -346,6 +351,7 @@ def test_stream_merge_sink_tombstone_deletes(spark, tmp_path):
     assert got == {2: 2.0, 3: 3.0}
 
 
+@pytest.mark.slow
 def test_replayed_batches_are_noops(spark, tmp_path):
     """Crash-replay semantics: a micro-batch whose snapshot the pointer
     already names must be skipped. Simulated by wiping the streaming

@@ -118,6 +118,7 @@ def test_eligibility_rules():
     assert hash_eligible("charges_cleaned", [("a", "double"), ("b", "string")])
 
 
+@pytest.mark.slow
 def test_separator_collision_resolved(spark):
     """ADVICE r9 #1: values that straddle column boundaries with
     embedded chr(31) must NOT canonicalize identically — the length

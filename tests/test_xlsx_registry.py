@@ -1,5 +1,6 @@
 """XLSX registry adapter: stdlib OOXML round-trip + foreign-writer read."""
 
+import pytest
 import zipfile
 
 from clearcare_data_pipeline_spark.schema import REGISTRY_COLUMNS
@@ -108,6 +109,7 @@ def test_write_xlsx_wide_sheet_column_letters(tmp_path):
     assert rows == [[str(i) for i in range(30)]]
 
 
+@pytest.mark.slow
 def test_upsert_and_dispatch_through_xlsx_path(spark, tmp_path):
     # load_registry / upsert_campus dispatch on the .xlsx extension, so
     # the reference's read-modify-write workbook cycle works verbatim.

@@ -1,10 +1,14 @@
-"""Capture .explain("formatted") for benched queries into plans/r13/.
+"""Capture .explain("formatted") for benched queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [sf_dir] [name ...]
 
-Writes plans/r13/<query>_<suffix>.txt for every headline + extended
-bench query (or just the named ones). Plans are built, never executed,
-so this is safe to run alongside other work.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default
+round: r14) for every headline + extended bench query (or just the
+named ones). Only the final materialize is skipped — BUILDING a query
+can itself run real jobs (bounded probes, and eager localCheckpoints
+such as doc_incremental_minhash's corpus-sized band materialization,
+ADVICE r13 #3), so runs of this tool do execute work and should not
+share the machine with timing runs.
 """
 
 from __future__ import annotations
@@ -23,7 +27,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     names = sys.argv[3:] or (bench.HEADLINE + bench.EXTENDED)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
     queries = entrymod.queries()
