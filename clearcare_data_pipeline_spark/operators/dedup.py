@@ -109,8 +109,17 @@ def incremental_minhash_dedup(
     # before-plan, plans/r13/doc_incremental_minhash_before.txt). The
     # aggregate and both joins are keyed on (band, band_key), so no
     # consumer adds an exchange of its own on this side. (A caller-
-    # supplied band_keys frame may already carry the same repartition;
-    # CollapseRepartition folds the two nodes into one exchange.)
+    # supplied band_keys frame that was repartitioned-then-
+    # localCheckpointed — textops' shape — pays the repartition again
+    # per consumer: a checkpoint's LogicalRDD does not advertise its
+    # partitioning, so the nodes cannot collapse; ADVICE r13 #4. The
+    # re-shuffles move only narrow (doc_id, band, band_key) rows. An
+    # r14 attempt to make the three consumer subtrees canonicalize to
+    # ONE reused exchange via a shared notnull pre-filter failed —
+    # the optimizer reorders each leg differently (the history
+    # semi-join lands below the repartition on one), so executed
+    # ReusedExchange stayed 0 and the A/B was a wash: 2.59 s base /
+    # 2.53 s filtered medians at sf0.1.)
     if band_keys is None:
         band_keys = lsh_band_keys(
             minhash_signatures(doc_shingles(new_docs, n=shingle_n), num_hashes=num_hashes),
@@ -294,7 +303,10 @@ def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    shingled: DataFrame, min_jaccard: float = 0.8, candidates: DataFrame | None = None
+    shingled: DataFrame,
+    min_jaccard: float = 0.8,
+    candidates: DataFrame | None = None,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard |A∩B| / |A∪B| over doc pairs.
 
@@ -313,8 +325,19 @@ def jaccard_pairs(
     n-gram string, cutting shuffle volume ~5x. Intersection COUNTS are
     identical to string joins absent a 64-bit collision within a doc
     pair (~2^-64 per pair — ignorable even at 100 TB).
+
+    ``hash_col`` (r14): name of a PRECOMPUTED xxhash64(shingle) column
+    already on ``shingled`` — it must be exactly
+    ``F.xxhash64("shingle")`` or results are undefined. The three
+    consumers below (sizes aggregate + both posting-list join legs)
+    each re-derive the hash otherwise; a caller that materializes the
+    shingle frame anyway (q_doc_ngram_jaccard's localCheckpoint) can
+    fold the hash into that materialization so it is computed once
+    per row instead of once per consumer, at +8 bytes/row of
+    checkpoint storage and zero extra passes.
     """
-    hashed = shingled.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    sh_expr = F.col(hash_col) if hash_col else F.xxhash64("shingle")
+    hashed = shingled.select("doc_id", sh_expr.alias("sh"))
     sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = hashed.select(F.col("doc_id").alias("a"), "sh")
     b = hashed.select(F.col("doc_id").alias("b"), "sh")

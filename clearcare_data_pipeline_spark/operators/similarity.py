@@ -576,6 +576,7 @@ def lsh_banded_pairs(
     n_bands: int = 4,
     planes_per_band: int = LSH_FLAT_PLANES,
     dot=None,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """OR-amplified near-dup pairs (VERDICT r8 #6): each vector gets
     ``n_bands`` independent hyperplane signatures (one per plane
@@ -602,13 +603,23 @@ def lsh_banded_pairs(
     ``dot`` lets a caller that already probed the corpus dimension
     thread its dot callable in (ADVICE r11 #3: emb_lsh_recall was
     paying two identical probe jobs over the same lineage); None
-    probes here as before."""
+    probes here as before.
+
+    ``normed`` (r14, VERDICT r13 #5): a precomputed
+    ``with_norm(df, "embedding")`` result — (id_col, dvec, norm), e.g.
+    a frame the caller already materialized for its own scoring legs.
+    It must derive from exactly ``df``'s rows or results are
+    undefined; when given, the signature pass reads it instead of
+    re-running the corpus scan + norm fold here."""
     spark = df.sparkSession
     if dot is None:
-        dot = probed_dot(df)
+        dot = probed_dot(df if normed is None else normed,
+                         "embedding" if normed is None else "dvec")
     mats = band_plane_matrices(n_bands, planes_per_band)
     pm = spark.createDataFrame([(mats,)], "pmats: array<array<array<double>>>")
-    d = with_norm(df, "embedding").crossJoin(F.broadcast(pm))
+    d = (with_norm(df, "embedding") if normed is None else normed).crossJoin(
+        F.broadcast(pm)
+    )
     bands = F.transform(
         F.col("pmats"),
         lambda mat, k: F.struct(

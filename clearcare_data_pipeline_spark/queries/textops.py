@@ -258,15 +258,25 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle frame feeds BOTH the signature/banding branch and the
     posting-list branch; a localCheckpoint materializes it once (doc_id
     + shingle, ~linear in corpus bytes) so the text-to-shingles explode
-    is not recomputed per branch."""
-    sh = doc_shingles(corpus_near_dups(spark, sf_dir), n=_SHINGLE_N).localCheckpoint()
+    is not recomputed per branch. The xxhash64 the Jaccard stage joins
+    on rides INSIDE that checkpoint (r14, VERDICT r13 #4): computed
+    once per shingle row at materialization instead of re-derived by
+    each of jaccard_pairs' three consumers — zero extra passes, +8
+    bytes/row of checkpoint storage (same-JVM A/B a wash at sf0.1
+    where the duplicated hash ran on idle cores; at saturation the
+    removed work is two corpus-sized hash passes)."""
+    sh = (
+        doc_shingles(corpus_near_dups(spark, sf_dir), n=_SHINGLE_N)
+        .withColumn("sh", F.xxhash64("shingle"))
+        .localCheckpoint()
+    )
     cands = lsh_candidate_pairs(
         lsh_band_keys(
             minhash_signatures(sh, num_hashes=_NUM_HASHES),
             rows_per_band=_ROWS_PER_BAND,
         )
     )
-    return jaccard_pairs(sh, min_jaccard=0.7, candidates=cands)
+    return jaccard_pairs(sh, min_jaccard=0.7, candidates=cands, hash_col="sh")
 
 
 _JACCARD_ORACLE = f"""

@@ -195,3 +195,33 @@ def test_incremental_minhash_short_and_empty_docs(spark):
     hist = spark.createDataFrame([], "band: int, band_key: string")
     out = {r["doc_id"] for r in incremental_minhash_dedup(docs, hist).collect()}
     assert out == {1, 3, 4}
+
+
+def test_jaccard_pairs_precomputed_hash_identical(spark):
+    """r14: jaccard_pairs(hash_col=...) with a precomputed
+    xxhash64(shingle) column must emit exactly the self-hashed rows."""
+    from pyspark.sql import functions as F
+
+    from clearcare_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = doc_shingles(docs, n=3).withColumn("sh", F.xxhash64("shingle")).localCheckpoint()
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_signatures(sh, num_hashes=6), rows_per_band=2)
+    )
+    base = {
+        (r.a, r.b, r.jaccard)
+        for r in jaccard_pairs(sh, min_jaccard=0.5, candidates=cands).collect()
+    }
+    hooked = {
+        (r.a, r.b, r.jaccard)
+        for r in jaccard_pairs(sh, min_jaccard=0.5, candidates=cands, hash_col="sh").collect()
+    }
+    assert hooked == base and base

@@ -290,3 +290,28 @@ def test_flat_broadcast_gated_on_bytes(spark, monkeypatch):
     assert with_bcast == without
     for i in range(30):
         assert (i, i + 1000) in without
+
+
+def test_banded_pairs_precomputed_normed_identical(spark):
+    """r14: lsh_banded_pairs(normed=...) must emit exactly the rows of
+    the self-computed with_norm path — the hook only relocates where
+    the (dvec, norm) pass runs."""
+    from clearcare_data_pipeline_spark.operators.similarity import (
+        lsh_banded_pairs,
+        with_norm,
+    )
+    from clearcare_data_pipeline_spark.sources.tables import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = {
+        (r.a, r.b, r.cos_sim)
+        for r in lsh_banded_pairs(corpus, min_cosine=0.9, n_bands=3).collect()
+    }
+    n = with_norm(corpus, "embedding").select("vec_id", "dvec", "norm").localCheckpoint()
+    hooked = {
+        (r.a, r.b, r.cos_sim)
+        for r in lsh_banded_pairs(corpus, min_cosine=0.9, n_bands=3, normed=n).collect()
+    }
+    assert hooked == base
